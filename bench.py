@@ -1,0 +1,95 @@
+"""Benchmark: xDeepFM training-step throughput on the default device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Shapes mirror the reference's canonical Criteo config (run.bash:12-26,
+models/xdeepfm.py:42-44): 26 sparse fields (vocab 10k, emb 10), 13 dense,
+CIN (256,128) split-half, DNN (256,256), batch 4096, Adam + sum-BCE + L2 reg.
+
+vs_baseline: ratio vs the reference PyTorch implementation's train-step
+throughput measured on this container's CPU (torch has no TPU path; the repo
+publishes no numbers — BASELINE.md).  Measured 2026-08-17 with
+/root/reference xDeepFM, identical shapes/optimizer: see REFERENCE_BASELINE.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# examples/s of the reference torch implementation (CPU, this machine),
+# measured via forward+sum-BCE+reg+backward+Adam step at batch 4096.
+REFERENCE_BASELINE = 11309.0
+
+BATCH = 4096
+N_SPARSE, N_DENSE, VOCAB, EMB = 26, 13, 10000, 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+    from xdeepfm_tpu.models import xDeepFM
+
+    cols = [
+        SparseFeat(f"C{i}", VOCAB, embedding_dim=EMB) for i in range(N_SPARSE)
+    ] + [DenseFeat(f"I{i}", 1) for i in range(N_DENSE)]
+    model = xDeepFM(
+        cols, cols, dnn_hidden_units=(256, 256), cin_layer_size=(256, 128),
+        seed=1024,
+    )
+    model.compile("adam", "binary_crossentropy", metrics=[])
+
+    rng = np.random.default_rng(0)
+    x = {}
+    for f in model.schema.sparse:
+        x[f.name] = rng.integers(0, VOCAB, size=BATCH).astype(np.int64)
+    for f in model.schema.dense:
+        x[f.name] = rng.uniform(0, 1, size=BATCH).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in model.schema.pack(x).items()}
+    y = jnp.asarray(rng.integers(0, 2, size=(BATCH, 1)).astype(np.float32))
+    mask = jnp.ones((BATCH,), jnp.float32)
+
+    def step(i):
+        (
+            model.params,
+            model.batch_stats,
+            model.opt_state,
+            total,
+            loss,
+            mvals,
+        ) = model._train_step(
+            model.params, model.batch_stats, model.opt_state, batch, y, mask, i
+        )
+        return total
+
+    # warmup / compile
+    t = step(0)
+    t.block_until_ready()
+    for i in range(1, 4):
+        t = step(i)
+    t.block_until_ready()
+
+    steps = 30
+    t0 = time.time()
+    for i in range(4, 4 + steps):
+        t = step(i)
+    t.block_until_ready()
+    dt = time.time() - t0
+    examples_per_s = steps * BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "xdeepfm_train_examples_per_s",
+                "value": round(examples_per_s, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(examples_per_s / REFERENCE_BASELINE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

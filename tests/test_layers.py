@@ -1,0 +1,148 @@
+"""Golden-value tests for the op library vs numpy oracles mirroring the
+reference math (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xdeepfm_tpu.nn.interaction import (
+    CIN,
+    FM,
+    BiInteractionPooling,
+    CrossNet,
+    InteractingLayer,
+)
+from xdeepfm_tpu.nn.core import DNN, PredictionLayer
+from xdeepfm_tpu.ops.cin import cin_layer_contract
+
+
+def test_fm_oracle(rng):
+    x = rng.normal(size=(7, 5, 4)).astype(np.float32)
+    out = FM().apply({}, jnp.asarray(x))
+    # oracle: 0.5 * sum_d ((sum_f x)^2 - sum_f x^2)
+    expect = 0.5 * ((x.sum(1) ** 2 - (x**2).sum(1)).sum(-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+def test_bi_interaction_shape(rng):
+    x = rng.normal(size=(3, 5, 4)).astype(np.float32)
+    out = BiInteractionPooling().apply({}, jnp.asarray(x))
+    assert out.shape == (3, 1, 4)
+    fm = FM().apply({}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out).sum(-1).reshape(-1), np.asarray(fm).reshape(-1), rtol=1e-5
+    )
+
+
+def _cin_oracle(x, kernels, biases, layer_size, split_half):
+    """NumPy oracle mirroring interaction.py:207-248."""
+    B, m, D = x.shape
+    hidden = [x]
+    finals = []
+    for i, size in enumerate(layer_size):
+        h = hidden[-1]
+        z = np.einsum("bhd,bmd->bhmd", h, x).reshape(B, h.shape[1] * m, D)
+        W = kernels[i]  # [O, C]
+        out = np.einsum("oc,bcd->bod", W, z) + biases[i][None, :, None]
+        out = np.maximum(out, 0)  # relu
+        if split_half:
+            if i != len(layer_size) - 1:
+                nxt, direct = out[:, : size // 2], out[:, size // 2 :]
+            else:
+                nxt, direct = None, out
+        else:
+            nxt, direct = out, out
+        finals.append(direct)
+        hidden.append(nxt)
+    return np.concatenate(finals, axis=1).sum(-1)
+
+
+@pytest.mark.parametrize("split_half", [True, False])
+def test_cin_oracle(rng, split_half):
+    B, m, D = 5, 6, 4
+    layer_size = (8, 6)
+    x = rng.normal(size=(B, m, D)).astype(np.float32)
+    cin = CIN(field_size=m, layer_size=layer_size, split_half=split_half)
+    params = cin.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = cin.apply({"params": params}, jnp.asarray(x))
+    kernels = [np.asarray(params[f"conv_w_{i}"]) for i in range(len(layer_size))]
+    biases = [np.asarray(params[f"conv_b_{i}"]) for i in range(len(layer_size))]
+    expect = _cin_oracle(x, kernels, biases, layer_size, split_half)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-5)
+    fm_num = sum(layer_size[:-1]) // 2 + layer_size[-1] if split_half else sum(
+        layer_size
+    )
+    assert out.shape == (B, fm_num)
+
+
+def test_cin_backends_agree(rng):
+    B, H, M, D, O = 4, 6, 5, 8, 10
+    h = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(B, M, D)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(O, H * M)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+    out_xla = cin_layer_contract(h, x0, W, b, backend="xla")
+    out_fused = cin_layer_contract(h, x0, W, b, backend="fused")
+    np.testing.assert_allclose(
+        np.asarray(out_xla), np.asarray(out_fused), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dnn_shapes_and_dropout(rng):
+    x = jnp.asarray(rng.normal(size=(6, 10)).astype(np.float32))
+    dnn = DNN(inputs_dim=10, hidden_units=(16, 8), dropout_rate=0.5)
+    variables = dnn.init(jax.random.PRNGKey(0), x)
+    out = dnn.apply(variables, x)  # eval mode, no dropout rng needed
+    assert out.shape == (6, 8)
+    out2 = dnn.apply(
+        variables, x, training=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert out2.shape == (6, 8)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_dnn_use_bn_mutable(rng):
+    x = jnp.asarray(rng.normal(size=(6, 10)).astype(np.float32))
+    dnn = DNN(inputs_dim=10, hidden_units=(4,), use_bn=True)
+    variables = dnn.init(jax.random.PRNGKey(0), x, training=True)
+    out, mutated = dnn.apply(
+        variables,
+        x,
+        training=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (6, 4)
+    assert "batch_stats" in mutated
+
+
+def test_prediction_layer():
+    x = jnp.asarray([[0.0], [2.0]])
+    pl_mod = PredictionLayer(task="binary")
+    variables = pl_mod.init(jax.random.PRNGKey(0), x)
+    out = pl_mod.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out), 1 / (1 + np.exp(-np.asarray(x))), rtol=1e-5
+    )
+    reg = PredictionLayer(task="regression")
+    vr = reg.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(reg.apply(vr, x)), np.asarray(x))
+
+
+def test_crossnet_identity_structure(rng):
+    x = jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))
+    for param in ("vector", "matrix"):
+        cn = CrossNet(in_features=8, layer_num=2, parameterization=param)
+        variables = cn.init(jax.random.PRNGKey(0), x)
+        out = cn.apply(variables, x)
+        assert out.shape == (3, 8)
+
+
+def test_interacting_layer(rng):
+    x = jnp.asarray(rng.normal(size=(3, 5, 8)).astype(np.float32))
+    layer = InteractingLayer(embedding_size=8, head_num=2)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(variables, x)
+    assert out.shape == (3, 5, 8)
+    assert np.all(np.asarray(out) >= 0)  # final relu

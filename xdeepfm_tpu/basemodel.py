@@ -1,0 +1,523 @@
+"""Keras-style training engine (reference: ``deepctr/models/basemodel.py``).
+
+TPU-native redesign of ``BaseModel.fit/evaluate/predict/compile``:
+
+* the whole training step — embedding lookup, forward, loss (+L2-in-loss
+  reg, aux loss), backward, optax update, train metrics — is **one jitted XLA
+  program**; only scalar metrics leave the device each step (the reference
+  syncs full predictions to CPU per batch, ``basemodel.py:264-269``),
+* the final partial batch is padded + masked so a single compiled step serves
+  every batch size (no recompiles, static shapes),
+* loss is sum-reduced then normalized by sample count for the epoch log,
+  exactly as ``basemodel.py:254,278``,
+* train metrics are means of per-batch values; val metrics are pooled over the
+  full set — both reference behaviors (``basemodel.py:279-285``).
+
+Model classes subclass :class:`BaseModel`, implement ``_build_module()``
+returning a flax module with signature ``module(batch, training) -> dict`` with
+keys ``pred`` ([B,1] or [B,num_tasks]) and optional ``aux_loss`` (scalar,
+already alpha-weighted, cf. ``basemodel.py:430-431``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .callbacks import CallbackList, History
+from .features import FeatureSchema
+from .metrics import DEVICE_METRICS, HOST_METRICS
+
+
+def _loss_fn_single(name):
+    """Sum-reduced masked losses (reference ``basemodel.py:463-481`` maps
+    strings to torch functionals called with reduction='sum')."""
+    if name == "binary_crossentropy":
+
+        def bce(y_pred, y_true, mask):
+            p = jnp.clip(y_pred, 1e-7, 1 - 1e-7)
+            ll = -(y_true * jnp.log(p) + (1 - y_true) * jnp.log(1 - p))
+            return jnp.sum(ll * mask)
+
+        return bce
+    if name == "mse":
+
+        def mse(y_pred, y_true, mask):
+            return jnp.sum(mask * (y_pred - y_true) ** 2)
+
+        return mse
+    if name == "mae":
+
+        def mae(y_pred, y_true, mask):
+            return jnp.sum(mask * jnp.abs(y_pred - y_true))
+
+        return mae
+    raise NotImplementedError(name)
+
+
+def _get_optimizer(optimizer, lr: Optional[float] = None):
+    """String -> optax optimizer with the reference's torch defaults
+    (``basemodel.py:447-461``)."""
+    if not isinstance(optimizer, str):
+        return optimizer
+    if optimizer == "sgd":
+        return optax.sgd(lr if lr is not None else 0.01)
+    if optimizer == "adam":
+        return optax.adam(lr if lr is not None else 1e-3, eps=1e-8)
+    if optimizer == "adagrad":
+        return optax.adagrad(lr if lr is not None else 0.01, eps=1e-10)
+    if optimizer == "rmsprop":
+        return optax.rmsprop(lr if lr is not None else 0.01, decay=0.99, eps=1e-8)
+    raise NotImplementedError(optimizer)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+class BaseModel:
+    def __init__(
+        self,
+        linear_feature_columns,
+        dnn_feature_columns,
+        l2_reg_linear=1e-5,
+        l2_reg_embedding=1e-5,
+        init_std=1e-4,
+        seed=1024,
+        task="binary",
+        device=None,
+        gpus=None,
+    ):
+        # device/gpus accepted for API parity; placement is JAX-managed.
+        del device, gpus
+        self.linear_feature_columns = tuple(linear_feature_columns)
+        self.dnn_feature_columns = tuple(dnn_feature_columns)
+        self.schema = FeatureSchema.build(
+            list(linear_feature_columns) + list(dnn_feature_columns)
+        )
+        self.init_std = init_std
+        self.seed = seed
+        self.task = task
+        self.num_tasks = None  # set by multitask models
+
+        self.regularization_weight: List[Tuple[Tuple[str, ...], float, float]] = []
+        # reference registers embeddings + linear in __init__
+        # (basemodel.py:124-127); module naming convention makes these paths.
+        self.add_regularization_weight(("embedding_dict/",), l2=l2_reg_embedding)
+        self.add_regularization_weight(("linear_model/",), l2=l2_reg_linear)
+
+        self.stop_training = False
+        self.history = History()
+        self.metrics = {}
+        self.metrics_names = ["loss"]
+        self._compiled = None
+        self.module = None
+
+    def _finalize(self):
+        """Build the flax module + initialize variables.  Called at the end of
+        each subclass ``__init__`` (after model hyperparameters are set)."""
+        self.module = self._build_module()
+        self._init_variables()
+
+    # ------------------------------------------------------------------ build
+
+    def _build_module(self):
+        raise NotImplementedError
+
+    def _dummy_batch(self, n=2):
+        batch = {}
+        if self.schema.sparse:
+            batch["sparse"] = np.zeros((n, self.schema.n_sparse), np.int32)
+        if self.schema.dense:
+            batch["dense"] = np.zeros((n, self.schema.dense_dim), np.float32)
+        for f in self.schema.varlen:
+            batch["vl_" + f.name] = np.zeros((n, f.maxlen), np.int32)
+            if f.length_name is not None:
+                batch["len_" + f.length_name] = np.ones((n, 1), np.int32)
+        return batch
+
+    def _init_variables(self):
+        key = jax.random.PRNGKey(self.seed)
+        pkey, dkey = jax.random.split(key)
+        variables = self.module.init(
+            {"params": pkey, "dropout": dkey},
+            jax.tree.map(jnp.asarray, self._dummy_batch()),
+            training=True,
+        )
+        variables = flax.core.unfreeze(variables)
+        self.params = variables.get("params", {})
+        self.batch_stats = variables.get("batch_stats", {})
+        self._base_rng = jax.random.PRNGKey(self.seed + 1)
+
+    # ------------------------------------------------------- regularization
+
+    def add_regularization_weight(self, pattern, l1=0.0, l2=0.0):
+        """Register (path-substring-pattern, l1, l2).  Equivalent of the
+        reference's tensor-list registry (``basemodel.py:402-410``) keyed by
+        parameter paths instead of object identity."""
+        if isinstance(pattern, str):
+            pattern = (pattern,)
+        self.regularization_weight.append((tuple(pattern), l1, l2))
+
+    def _regularization_loss(self, params):
+        """sum(l1*|w|) + sum(l2*w^2) over matched params
+        (``basemodel.py:412-428``)."""
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        total = jnp.zeros(())
+        for pattern, l1, l2 in self.regularization_weight:
+            for path, w in flat:
+                p = _path_str(path)
+                if all(s in p for s in pattern):
+                    if l1 > 0:
+                        total = total + jnp.sum(l1 * jnp.abs(w))
+                    if l2 > 0:
+                        total = total + jnp.sum(l2 * jnp.square(w))
+        return total
+
+    # ------------------------------------------------------------- compile
+
+    def compile(self, optimizer, loss=None, metrics=None, lr=None):
+        """String (or optax GradientTransformation) optimizer, string loss
+        name(s), metric-name list (``basemodel.py:433-445``)."""
+        self.metrics_names = ["loss"]
+        self.optimizer = _get_optimizer(optimizer, lr)
+        if isinstance(loss, list):
+            self.loss_names = list(loss)
+        else:
+            self.loss_names = loss
+        self.metrics = self._get_metrics(metrics)
+        self.opt_state = self.optimizer.init(self.params)
+        self._build_steps()
+
+    def _get_metrics(self, metrics):
+        metrics_ = {}
+        if metrics:
+            for m in metrics:
+                if m not in HOST_METRICS:
+                    raise NotImplementedError(m)
+                metrics_[m] = HOST_METRICS[m]
+                self.metrics_names.append(m)
+        return metrics_
+
+    def _build_steps(self):
+        module = self.module
+        loss_names = self.loss_names
+        metric_names = list(self.metrics.keys())
+        reg_fn = self._regularization_loss
+        optimizer = self.optimizer
+        num_tasks = self.num_tasks
+
+        def apply_train(params, batch_stats, batch, rng):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out, mutated = module.apply(
+                variables,
+                batch,
+                training=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return out, mutated.get("batch_stats", batch_stats)
+
+        def compute_loss(out, y, mask):
+            y_pred = out["pred"]
+            if isinstance(loss_names, list):
+                assert num_tasks is not None and len(loss_names) == num_tasks, (
+                    "the length of `loss_func` should be equal with `self.num_tasks`"
+                )
+                loss = sum(
+                    _loss_fn_single(loss_names[i])(
+                        y_pred[:, i], y[:, i], mask.reshape(-1)
+                    )
+                    for i in range(num_tasks)
+                )
+            else:
+                loss = _loss_fn_single(loss_names)(
+                    y_pred.reshape(-1), y.reshape(-1), mask.reshape(-1)
+                )
+            return loss
+
+        def train_step(params, batch_stats, opt_state, batch, y, mask, step):
+            rng = jax.random.fold_in(self._base_rng, step)
+
+            def loss_fn(p):
+                out, new_bs = apply_train(p, batch_stats, batch, rng)
+                loss = compute_loss(out, y, mask)
+                reg = reg_fn(p)
+                aux = out.get("aux_loss", 0.0)
+                total = loss + reg + aux
+                return total, (loss, out, new_bs)
+
+            (total, (loss, out, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            mvals = {}
+            pred_first = out["pred"]
+            if not isinstance(loss_names, list):
+                pred_flat = pred_first.reshape(pred_first.shape[0], -1)[:, 0]
+                for name in metric_names:
+                    mvals[name] = DEVICE_METRICS[name](
+                        y.reshape(y.shape[0], -1)[:, 0], pred_flat, mask.reshape(-1)
+                    )
+            else:
+                # multitask: metrics over flattened task outputs, like the
+                # reference's sklearn call on the [B, T] arrays.
+                for name in metric_names:
+                    mvals[name] = DEVICE_METRICS[name](
+                        y.reshape(-1),
+                        pred_first.reshape(-1),
+                        jnp.repeat(mask.reshape(-1), pred_first.shape[-1]),
+                    )
+            return new_params, new_bs, new_opt_state, total, loss, mvals
+
+        def predict_step(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = module.apply(variables, batch, training=False)
+            return out["pred"]
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._predict_step = jax.jit(predict_step)
+        self._compiled = True
+
+    # ------------------------------------------------------------------ fit
+
+    def _pack_x(self, x):
+        if isinstance(x, dict):
+            return self.schema.pack(x)
+        if isinstance(x, (list, tuple)):
+            names = self.schema.feature_names()
+            return self.schema.pack(dict(zip(names, x)))
+        raise TypeError("x must be a dict or list of arrays")
+
+    def fit(
+        self,
+        x=None,
+        y=None,
+        batch_size=None,
+        epochs=1,
+        verbose=1,
+        initial_epoch=0,
+        validation_split=0.0,
+        validation_data=None,
+        shuffle=True,
+        callbacks=None,
+    ):
+        assert self._compiled, "call compile() before fit()"
+        batch = self._pack_x(x)
+        y = np.asarray(y, dtype=np.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        n = len(y)
+
+        do_validation = False
+        if validation_data:
+            do_validation = True
+            if len(validation_data) == 2:
+                val_x, val_y = validation_data
+            elif len(validation_data) == 3:
+                val_x, val_y, _ = validation_data
+            else:
+                raise ValueError(
+                    "When passing a `validation_data` argument, it must contain "
+                    "either 2 items (x_val, y_val), or 3 items "
+                    "(x_val, y_val, val_sample_weights)"
+                )
+            val_batch = self._pack_x(val_x)
+            val_y = np.asarray(val_y, dtype=np.float32)
+        elif validation_split and 0.0 < validation_split < 1.0:
+            do_validation = True
+            split_at = int(n * (1.0 - validation_split))
+            val_batch = self.schema.slice_batch(batch, split_at, n)
+            val_y = y[split_at:]
+            batch = self.schema.slice_batch(batch, 0, split_at)
+            y = y[:split_at]
+            n = split_at
+        else:
+            val_batch, val_y = None, []
+
+        if batch_size is None:
+            batch_size = 256
+        steps_per_epoch = (n - 1) // batch_size + 1
+
+        callbacks = CallbackList((callbacks or []) + [self.history])
+        callbacks.set_model(self)
+        callbacks.on_train_begin()
+        self.stop_training = False
+
+        print(
+            "Train on {0} samples, validate on {1} samples, {2} steps per "
+            "epoch".format(n, len(val_y), steps_per_epoch)
+        )
+        rng = np.random.default_rng(self.seed)
+        global_step = 0
+        for epoch in range(initial_epoch, epochs):
+            callbacks.on_epoch_begin(epoch)
+            epoch_logs = {}
+            start_time = time.time()
+            total_loss_epoch = 0.0
+            train_result: Dict[str, List[float]] = {}
+            perm = rng.permutation(n) if shuffle else np.arange(n)
+            pending = []  # (total, mvals) device scalars, sync at epoch end
+            for i in range(steps_per_epoch):
+                idx = perm[i * batch_size : (i + 1) * batch_size]
+                bs = len(idx)
+                mask = np.ones((batch_size,), np.float32)
+                if bs < batch_size:
+                    pad = batch_size - bs
+                    idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+                    mask[bs:] = 0.0
+                xb = {k: jnp.asarray(v[idx]) for k, v in batch.items()}
+                yb = jnp.asarray(y[idx])
+                (
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    total,
+                    loss,
+                    mvals,
+                ) = self._train_step(
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    xb,
+                    yb,
+                    jnp.asarray(mask),
+                    global_step,
+                )
+                pending.append((total, mvals if verbose > 0 else {}))
+                global_step += 1
+            # single host sync point per epoch
+            for total, mvals in pending:
+                total_loss_epoch += float(total)
+                for name, v in mvals.items():
+                    train_result.setdefault(name, []).append(float(v))
+
+            epoch_logs["loss"] = total_loss_epoch / n
+            for name, result in train_result.items():
+                epoch_logs[name] = float(np.sum(result) / steps_per_epoch)
+
+            if do_validation:
+                eval_result = self._evaluate_packed(val_batch, val_y, batch_size)
+                for name, result in eval_result.items():
+                    epoch_logs["val_" + name] = result
+
+            if verbose > 0:
+                epoch_time = int(time.time() - start_time)
+                print("Epoch {0}/{1}".format(epoch + 1, epochs))
+                eval_str = "{0}s - loss: {1: .4f}".format(
+                    epoch_time, epoch_logs["loss"]
+                )
+                for name in self.metrics:
+                    eval_str += " - " + name + ": {0: .4f}".format(epoch_logs[name])
+                if do_validation:
+                    for name in self.metrics:
+                        eval_str += " - val_" + name + ": {0: .4f}".format(
+                            epoch_logs["val_" + name]
+                        )
+                print(eval_str)
+            callbacks.on_epoch_end(epoch, epoch_logs)
+            if self.stop_training:
+                break
+        callbacks.on_train_end()
+        return self.history
+
+    # ------------------------------------------------------ evaluate/predict
+
+    def evaluate(self, x, y, batch_size=256):
+        return self._evaluate_packed(self._pack_x(x), np.asarray(y), batch_size)
+
+    def _evaluate_packed(self, batch, y, batch_size=256):
+        pred = self._predict_packed(batch, batch_size)
+        return {
+            name: fn(np.asarray(y).reshape(pred.shape), pred)
+            for name, fn in self.metrics.items()
+        }
+
+    def predict(self, x, batch_size=256):
+        return self._predict_packed(self._pack_x(x), batch_size)
+
+    def _predict_packed(self, batch, batch_size=256):
+        n = len(next(iter(batch.values())))
+        preds = []
+        for start in range(0, n, batch_size):
+            stop = min(start + batch_size, n)
+            xb = {k: v[start:stop] for k, v in batch.items()}
+            bs = stop - start
+            if bs < batch_size:
+                # pad to the compiled shape, slice after
+                xb = {
+                    k: np.concatenate(
+                        [v, np.repeat(v[-1:], batch_size - bs, axis=0)]
+                    )
+                    for k, v in xb.items()
+                }
+            out = self._predict_step(
+                self.params, self.batch_stats, {k: jnp.asarray(v) for k, v in xb.items()}
+            )
+            preds.append(np.asarray(out)[:bs])
+        return np.concatenate(preds).astype("float64")
+
+    # --------------------------------------------------------- weights I/O
+
+    def get_weights(self):
+        return {
+            "params": jax.tree.map(np.asarray, self.params),
+            "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
+        }
+
+    def set_weights(self, weights):
+        self.params = jax.tree.map(jnp.asarray, weights["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray, weights["batch_stats"])
+
+    def save_weights(self, path):
+        data = flax.serialization.to_bytes(self.get_weights())
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def load_weights(self, path):
+        with open(path, "rb") as f:
+            data = f.read()
+        self.set_weights(flax.serialization.from_bytes(self.get_weights(), data))
+
+    # ----------------------------------------------------------- misc parity
+
+    @property
+    def embedding_size(self):
+        from .features import SparseFeat, VarLenSparseFeat
+
+        feats = [
+            f
+            for f in self.dnn_feature_columns
+            if isinstance(f, (SparseFeat, VarLenSparseFeat))
+        ]
+        sizes = set(f.embedding_dim for f in feats)
+        if len(sizes) > 1:
+            raise ValueError(
+                "embedding_dim of SparseFeat and VarlenSparseFeat must be same "
+                "in this model!"
+            )
+        return list(sizes)[0]
+
+    def compute_input_dim(
+        self,
+        feature_columns,
+        include_sparse=True,
+        include_dense=True,
+        feature_group=False,
+    ):
+        from .features import compute_input_dim
+
+        return compute_input_dim(
+            feature_columns, include_sparse, include_dense, feature_group
+        )

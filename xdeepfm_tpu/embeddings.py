@@ -1,0 +1,279 @@
+"""Embedding tables + input plumbing.
+
+TPU-native replacement for the reference's ``nn.ModuleDict{name: nn.Embedding}``
+(``deepctr/inputs.py:158-180``) and its 26 small per-feature gathers
+(``basemodel.py:368-370``).  Tables that share an embedding dim are **stacked
+into one [sum_vocab, dim] matrix** so the whole batch's sparse lookup is a
+single XLA gather of ``ids + row_offsets`` — one fused HBM scan instead of 26
+kernel launches, and the natural unit for row-sharding across a device mesh
+(rows shard over the ``embed`` axis; see ``parallel/``).
+
+Semantics preserved:
+* shared tables via ``embedding_name`` (two features with the same
+  embedding_name index the same row block),
+* init normal(std=init_std) (``inputs.py:177-178``),
+* linear variant forces dim=1 (``inputs.py:168``),
+* varlen pooling with mask from ``id != 0`` or explicit lengths
+  (``inputs.py:141-155``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .features import (
+    DenseFeat,
+    FeatureSchema,
+    SparseFeat,
+    VarLenSparseFeat,
+    split_columns,
+)
+from .nn.sequence import SequencePoolingLayer
+
+
+def _table_layout(feature_columns, linear: bool):
+    """Static layout: embedding_name -> (table_dim, row_offset); plus per-dim
+    table total rows."""
+    sp, _, vl = split_columns(feature_columns)
+    name_specs = {}  # embedding_name -> (vocab, dim), first occurrence wins
+    order = []
+    for f in list(sp) + list(vl):
+        dim = 1 if linear else f.embedding_dim
+        if f.embedding_name not in name_specs:
+            name_specs[f.embedding_name] = (f.vocabulary_size, dim)
+            order.append(f.embedding_name)
+    # group by dim
+    table_rows: Dict[int, int] = {}
+    offsets: Dict[str, Tuple[int, int]] = {}  # emb_name -> (dim, offset)
+    for name in order:
+        vocab, dim = name_specs[name]
+        off = table_rows.get(dim, 0)
+        offsets[name] = (dim, off)
+        table_rows[dim] = off + vocab
+    return offsets, table_rows
+
+
+class EmbeddingCollection(nn.Module):
+    """Stacked embedding tables over a feature-column list."""
+
+    feature_columns: tuple  # SparseFeat | VarLenSparseFeat | DenseFeat (ignored)
+    schema: FeatureSchema
+    linear: bool = False
+    init_std: float = 1e-4
+
+    def setup(self):
+        offsets, table_rows = _table_layout(self.feature_columns, self.linear)
+        self._offsets = offsets
+        tables = {}
+        for dim, rows in sorted(table_rows.items()):
+            tables[dim] = self.param(
+                f"table_d{dim}",
+                nn.initializers.normal(stddev=self.init_std),
+                (rows, dim),
+            )
+        self._tables = tables
+
+    # ---- single-feature lookups -------------------------------------------
+
+    def lookup_ids(self, ids, feat):
+        """Gather rows for an int32 id tensor of any shape -> [..., dim]."""
+        dim, off = self._offsets[feat.embedding_name]
+        table = self._tables[dim]
+        return jnp.take(table, ids + off, axis=0)
+
+    def lookup_sparse(self, batch, feat: SparseFeat):
+        """[B, 1, dim] for one SparseFeat (reference ``inputs.py:183-210``)."""
+        idx = self.schema.sparse_index(feat.name)
+        ids = batch["sparse"][:, idx : idx + 1]
+        return self.lookup_ids(ids, feat)
+
+    def lookup_varlen_seq(self, batch, feat: VarLenSparseFeat):
+        """[B, maxlen, dim] sequence embeddings (``inputs.py:213-227``)."""
+        ids = batch["vl_" + feat.name]
+        return self.lookup_ids(ids, feat)
+
+    def lookup_varlen_pooled(self, batch, feat: VarLenSparseFeat):
+        """[B, 1, dim] pooled (``inputs.py:141-155``)."""
+        seq_emb = self.lookup_varlen_seq(batch, feat)
+        ids = batch["vl_" + feat.name]
+        if feat.length_name is None:
+            mask = ids != 0
+            return SequencePoolingLayer(mode=feat.combiner, supports_masking=True)(
+                (seq_emb, mask)
+            )
+        else:
+            length = batch["len_" + feat.length_name]
+            return SequencePoolingLayer(mode=feat.combiner, supports_masking=False)(
+                (seq_emb, length)
+            )
+
+    # ---- batched lookups ---------------------------------------------------
+
+    def stacked_sparse(self, batch, feats: Sequence[SparseFeat]):
+        """One fused gather for a set of equal-dim SparseFeats -> [B, F, dim].
+
+        All equal-dim tables live in one stacked matrix, so the lookup is a
+        single ``take`` regardless of how many logical tables are involved.
+        """
+        dims = {self._offsets[f.embedding_name][0] for f in feats}
+        assert len(dims) == 1, "stacked_sparse requires uniform embedding dim"
+        dim = dims.pop()
+        cols = np.array([self.schema.sparse_index(f.name) for f in feats])
+        offs = np.array(
+            [self._offsets[f.embedding_name][1] for f in feats], dtype=np.int32
+        )
+        ids = batch["sparse"][:, cols] + offs[None, :]
+        return jnp.take(self._tables[dim], ids, axis=0)  # [B, F, dim]
+
+    def embed_inputs(
+        self,
+        batch,
+        feature_columns: Optional[Sequence] = None,
+        support_dense: bool = True,
+    ):
+        """Reference ``input_from_feature_columns`` (``basemodel.py:354-380``):
+        returns (sparse_embedding_list, dense_value_list).
+
+        sparse list entries are [B, 1, dim] (sparse feats in column order, then
+        pooled varlen feats); dense entries are [B, dimension].
+        """
+        cols = (
+            self.feature_columns if feature_columns is None else feature_columns
+        )
+        sp, de, vl = split_columns(cols)
+        if not support_dense and len(de) > 0:
+            raise ValueError("DenseFeat is not supported in dnn_feature_columns")
+        sparse_list = [self.lookup_sparse(batch, f) for f in sp]
+        sparse_list += [self.lookup_varlen_pooled(batch, f) for f in vl]
+        dense_list = [
+            batch["dense"][:, slice(*self.schema.dense_slice(f.name))] for f in de
+        ]
+        return sparse_list, dense_list
+
+    def stacked_inputs(
+        self,
+        batch,
+        feature_columns: Optional[Sequence] = None,
+        support_dense: bool = True,
+    ):
+        """Fast path for the common all-equal-dim case: returns
+        (sparse_stack [B, F, D] | None, dense [B, Dd] | None) using ONE gather
+        for all plain sparse features.  Semantically identical to
+        ``embed_inputs`` + concat."""
+        cols = (
+            self.feature_columns if feature_columns is None else feature_columns
+        )
+        sp, de, vl = split_columns(cols)
+        if not support_dense and len(de) > 0:
+            raise ValueError("DenseFeat is not supported in dnn_feature_columns")
+        dims = {1 if self.linear else f.embedding_dim for f in list(sp) + list(vl)}
+        if len(dims) > 1:
+            raise ValueError(
+                "stacked_inputs requires a uniform embedding dim; use "
+                "embed_inputs for mixed-dim feature sets"
+            )
+        parts = []
+        if sp:
+            parts.append(self.stacked_sparse(batch, sp))
+        for f in vl:
+            parts.append(self.lookup_varlen_pooled(batch, f))
+        sparse_stack = jnp.concatenate(parts, axis=1) if parts else None
+        dense = None
+        if de:
+            dense = jnp.concatenate(
+                [
+                    batch["dense"][:, slice(*self.schema.dense_slice(f.name))]
+                    for f in de
+                ],
+                axis=-1,
+            )
+        return sparse_stack, dense
+
+    def grouped_sparse(self, batch, feats, return_feat_list=()):
+        """Group-name keyed lookup (reference ``inputs.py:183-210``)."""
+        groups: Dict[str, List] = {}
+        for f in feats:
+            if len(return_feat_list) == 0 or f.name in return_feat_list:
+                groups.setdefault(f.group_name, []).append(
+                    self.lookup_sparse(batch, f)
+                )
+        return groups
+
+
+def combined_dnn_input(sparse_embedding_list, dense_value_list):
+    """Flatten + concat (reference ``inputs.py:126-138``)."""
+    if len(sparse_embedding_list) > 0 and len(dense_value_list) > 0:
+        sp = jnp.concatenate(sparse_embedding_list, axis=-1)
+        sp = sp.reshape(sp.shape[0], -1)
+        de = jnp.concatenate(dense_value_list, axis=-1)
+        return jnp.concatenate([sp, de], axis=-1)
+    elif len(sparse_embedding_list) > 0:
+        sp = jnp.concatenate(sparse_embedding_list, axis=-1)
+        return sp.reshape(sp.shape[0], -1)
+    elif len(dense_value_list) > 0:
+        return jnp.concatenate(dense_value_list, axis=-1)
+    raise NotImplementedError
+
+
+class LinearModel(nn.Module):
+    """First-order term (reference ``basemodel.py:34-92``): 1-dim embeddings
+    summed + dense matmul; supports IFM/DIFM refine weights."""
+
+    feature_columns: tuple
+    schema: FeatureSchema
+    init_std: float = 1e-4
+
+    def setup(self):
+        self.embedding = EmbeddingCollection(
+            feature_columns=self.feature_columns,
+            schema=self.schema,
+            linear=True,
+            init_std=self.init_std,
+            name="embedding_dict",
+        )
+        _, de, _ = split_columns(self.feature_columns)
+        self._dense_cols = tuple(de)
+        dense_dim = sum(f.dimension for f in de)
+        if dense_dim > 0:
+            self.weight = self.param(
+                "weight",
+                nn.initializers.normal(stddev=self.init_std),
+                (dense_dim, 1),
+            )
+
+    def __call__(self, batch, sparse_feat_refine_weight=None):
+        sp, de, vl = split_columns(self.feature_columns)
+        B = None
+        sparse_embs = []
+        if sp:
+            sparse_embs.append(self.embedding.stacked_sparse(batch, sp)[:, :, 0])
+        for f in vl:
+            sparse_embs.append(
+                self.embedding.lookup_varlen_pooled(batch, f)[:, :, 0]
+            )
+        logits = []
+        if sparse_embs:
+            cat = jnp.concatenate(sparse_embs, axis=1)  # [B, F_total]
+            if sparse_feat_refine_weight is not None:
+                cat = cat * sparse_feat_refine_weight
+            logits.append(jnp.sum(cat, axis=-1, keepdims=True))
+        if de:
+            dense_vals = jnp.concatenate(
+                [
+                    batch["dense"][:, slice(*self.schema.dense_slice(f.name))]
+                    for f in de
+                ],
+                axis=-1,
+            )
+            logits.append(dense_vals @ self.weight)
+        if not logits:
+            for v in batch.values():
+                return jnp.zeros((v.shape[0], 1))
+        out = logits[0]
+        for l in logits[1:]:
+            out = out + l
+        return out

@@ -1,0 +1,154 @@
+"""Core layers (reference: ``deepctr/layers/core.py``).
+
+DNN / PredictionLayer / LocalActivationUnit as flax modules.  All matmuls are
+MXU-shaped (batch-major, static shapes) and elementwise tails fuse under XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .activations import apply_activation, make_activation
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
+
+    For flax kernels of shape (in, out) fan_in = shape[0]; for biases the caller
+    should use :func:`torch_bias_init` with the explicit fan_in.
+    """
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class DNN(nn.Module):
+    """MLP: Dense -> (BN) -> activation -> dropout per layer
+    (reference: ``core.py:67-134``).
+
+    Weight init: normal(std=init_std) as in ``core.py:114-116``; biases keep the
+    torch Linear default U(±1/sqrt(fan_in)) which the reference does not re-init.
+    """
+
+    inputs_dim: int
+    hidden_units: Tuple[int, ...]
+    activation: Union[str, Callable] = "relu"
+    l2_reg: float = 0.0
+    dropout_rate: float = 0.0
+    use_bn: bool = False
+    init_std: float = 1e-4
+    dice_dim: int = 3
+    seed: int = 1024
+
+    def setup(self):
+        if len(self.hidden_units) == 0:
+            raise ValueError("hidden_units is empty!!")
+        units = [self.inputs_dim] + list(self.hidden_units)
+        self.linears = [
+            nn.Dense(
+                units[i + 1],
+                kernel_init=nn.initializers.normal(stddev=self.init_std),
+                bias_init=torch_bias_init(units[i]),
+                name=f"linear_{i}",
+            )
+            for i in range(len(units) - 1)
+        ]
+        if self.use_bn:
+            self.bns = [
+                nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=f"bn_{i}")
+                for i in range(len(units) - 1)
+            ]
+        self.acts = [
+            make_activation(
+                self.activation, units[i + 1], self.dice_dim, name=f"act_{i}"
+            )
+            for i in range(len(units) - 1)
+        ]
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def __call__(self, x, training: bool = False):
+        h = x
+        for i, lin in enumerate(self.linears):
+            h = lin(h)
+            if self.use_bn:
+                h = self.bns[i](h, use_running_average=not training)
+            h = apply_activation(self.acts[i], h, training=training)
+            h = self.dropout(h, deterministic=not training)
+        return h
+
+
+class PredictionLayer(nn.Module):
+    """Adds a scalar bias; sigmoid iff task == 'binary'
+    (reference: ``core.py:137-160``)."""
+
+    task: str = "binary"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.task not in ["binary", "multiclass", "regression"]:
+            raise ValueError("task must be binary,multiclass or regression")
+        out = x
+        if self.use_bias:
+            bias = self.param("global_bias", nn.initializers.zeros, (1,))
+            out = out + bias
+        if self.task == "binary":
+            out = nn.sigmoid(out)
+        return out
+
+
+class LocalActivationUnit(nn.Module):
+    """DIN attention MLP over [q, k, q-k, q*k] (reference: ``core.py:10-64``).
+
+    query: [B, 1, E]; user_behavior: [B, T, E] -> scores [B, T, 1].
+    """
+
+    hidden_units: Tuple[int, ...] = (64, 32)
+    embedding_dim: int = 4
+    activation: Union[str, Callable] = "sigmoid"
+    dropout_rate: float = 0.0
+    dice_dim: int = 3
+    l2_reg: float = 0.0
+    use_bn: bool = False
+
+    def setup(self):
+        self.dnn = DNN(
+            inputs_dim=4 * self.embedding_dim,
+            hidden_units=self.hidden_units,
+            activation=self.activation,
+            l2_reg=self.l2_reg,
+            dropout_rate=self.dropout_rate,
+            dice_dim=self.dice_dim,
+            use_bn=self.use_bn,
+            name="dnn",
+        )
+        self.dense = nn.Dense(
+            1,
+            kernel_init=torch_linear_init,
+            bias_init=torch_bias_init(self.hidden_units[-1]),
+            name="dense",
+        )
+
+    def __call__(self, query, user_behavior, training: bool = False):
+        T = user_behavior.shape[1]
+        queries = jnp.broadcast_to(query, (query.shape[0], T, query.shape[2]))
+        att_input = jnp.concatenate(
+            [queries, user_behavior, queries - user_behavior, queries * user_behavior],
+            axis=-1,
+        )
+        att_out = self.dnn(att_input, training=training)
+        return self.dense(att_out)  # [B, T, 1]

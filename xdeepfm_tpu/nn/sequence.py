@@ -1,0 +1,248 @@
+"""Sequence ops (reference: ``deepctr/layers/sequence.py``).
+
+The reference's ``DynamicGRU`` iterates PackedSequence chunks in a Python loop
+(``sequence.py:296-320``); here the recurrences are ``jax.lax.scan`` over padded
+sequences with per-step masking — identical semantics (hidden state freezes past
+each sequence's length), compiler-friendly control flow.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .core import LocalActivationUnit
+
+
+def sequence_mask(lengths, maxlen: int):
+    """[B, 1] lengths -> bool [B, maxlen] (reference: ``sequence.py:38-47``)."""
+    row = jnp.arange(maxlen)[None, :]
+    return row < lengths.reshape(-1, 1)
+
+
+class SequencePoolingLayer(nn.Module):
+    """Masked sum/mean/max pooling over varlen sequences
+    (reference: ``sequence.py:9-77``).
+
+    Call with ``(seq_emb [B,T,E], mask [B,T] bool)`` when supports_masking else
+    ``(seq_emb, length [B,1])``.  Returns [B, 1, E].
+    """
+
+    mode: str = "mean"
+    supports_masking: bool = False
+
+    @nn.compact
+    def __call__(self, seq_value_len_list):
+        if self.mode not in ["sum", "mean", "max"]:
+            raise ValueError("parameter mode should in [sum, mean, max]")
+        if self.supports_masking:
+            seq_emb, mask = seq_value_len_list
+            mask = mask.astype(jnp.float32)  # [B, T]
+            user_behavior_length = jnp.sum(mask, axis=-1, keepdims=True)
+            mask = mask[:, :, None]
+        else:
+            seq_emb, user_behavior_length = seq_value_len_list
+            mask = sequence_mask(user_behavior_length, seq_emb.shape[1])
+            mask = mask.astype(jnp.float32)[:, :, None]
+
+        if self.mode == "max":
+            hist = seq_emb - (1 - mask) * 1e9
+            return jnp.max(hist, axis=1, keepdims=True)
+        hist = jnp.sum(seq_emb * mask, axis=1, keepdims=False)
+        if self.mode == "mean":
+            hist = hist / (user_behavior_length.astype(jnp.float32) + 1e-8)
+        return hist[:, None, :]
+
+
+class AttentionSequencePoolingLayer(nn.Module):
+    """DIN attention pooling (reference: ``sequence.py:80-154``).
+
+    query [B,1,E], keys [B,T,E], keys_length [B,1] (or mask [B,T]) -> [B,1,E]
+    (or scores [B,1,T] when return_score).
+    """
+
+    att_hidden_units: Tuple[int, ...] = (80, 40)
+    att_activation: str = "sigmoid"
+    weight_normalization: bool = False
+    return_score: bool = False
+    supports_masking: bool = False
+    embedding_dim: int = 4
+
+    def setup(self):
+        self.local_att = LocalActivationUnit(
+            hidden_units=self.att_hidden_units,
+            embedding_dim=self.embedding_dim,
+            activation=self.att_activation,
+            dropout_rate=0.0,
+            use_bn=False,
+            name="local_att",
+        )
+
+    def __call__(self, query, keys, keys_length=None, mask=None, training: bool = False):
+        B, T, _ = keys.shape
+        if self.supports_masking:
+            if mask is None:
+                raise ValueError(
+                    "When supports_masking=True,input must support masking"
+                )
+            keys_masks = mask[:, None, :]  # [B, 1, T]
+        else:
+            keys_masks = (jnp.arange(T)[None, :] < keys_length.reshape(-1, 1))[
+                :, None, :
+            ]
+
+        attention_score = self.local_att(query, keys, training=training)  # [B,T,1]
+        outputs = jnp.swapaxes(attention_score, 1, 2)  # [B, 1, T]
+
+        if self.weight_normalization:
+            paddings = jnp.full_like(outputs, -(2.0**32) + 1)
+        else:
+            paddings = jnp.zeros_like(outputs)
+        outputs = jnp.where(keys_masks, outputs, paddings)
+
+        if self.weight_normalization:
+            outputs = nn.softmax(outputs, axis=-1)
+        if not self.return_score:
+            outputs = jnp.matmul(outputs, keys)  # [B, 1, E]
+        return outputs
+
+
+class KMaxPooling(nn.Module):
+    """Top-k along an axis, sorted descending (reference: ``sequence.py:157-189``)."""
+
+    k: int
+    axis: int
+
+    @nn.compact
+    def __call__(self, inputs):
+        if self.axis < 0 or self.axis >= inputs.ndim:
+            raise ValueError(
+                "axis must be 0~%d,now is %d" % (inputs.ndim - 1, self.axis)
+            )
+        if self.k < 1 or self.k > inputs.shape[self.axis]:
+            raise ValueError(
+                "k must be in 1 ~ %d,now k is %d" % (inputs.shape[self.axis], self.k)
+            )
+        moved = jnp.moveaxis(inputs, self.axis, -1)
+        top = jax.lax.top_k(moved, self.k)[0]
+        return jnp.moveaxis(top, -1, self.axis)
+
+
+def _gru_param_init(hidden_size: int):
+    # torch GRU-style default; the reference leaves these weights UNINITIALIZED
+    # (raw torch.Tensor, ``sequence.py:205-208``) which is a latent bug — we use
+    # the standard U(±1/sqrt(H)) instead.
+    bound = 1.0 / math.sqrt(hidden_size)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class AGRUCell(nn.Module):
+    """Attention-based GRU: attention score replaces the update gate
+    (reference: ``sequence.py:192-235``)."""
+
+    input_size: int
+    hidden_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, hx, att_score):
+        H = self.hidden_size
+        init = _gru_param_init(H)
+        w_ih = self.param("weight_ih", init, (3 * H, self.input_size))
+        w_hh = self.param("weight_hh", init, (3 * H, H))
+        gi = inputs @ w_ih.T
+        gh = hx @ w_hh.T
+        if self.use_bias:
+            gi = gi + self.param("bias_ih", nn.initializers.zeros, (3 * H,))
+            gh = gh + self.param("bias_hh", nn.initializers.zeros, (3 * H,))
+        i_r, _, i_n = jnp.split(gi, 3, axis=1)
+        h_r, _, h_n = jnp.split(gh, 3, axis=1)
+        reset_gate = nn.sigmoid(i_r + h_r)
+        new_state = jnp.tanh(i_n + reset_gate * h_n)
+        att = att_score.reshape(-1, 1)
+        return (1.0 - att) * hx + att * new_state
+
+
+class AUGRUCell(nn.Module):
+    """GRU with attentional update gate (reference: ``sequence.py:238-282``)."""
+
+    input_size: int
+    hidden_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, hx, att_score):
+        H = self.hidden_size
+        init = _gru_param_init(H)
+        w_ih = self.param("weight_ih", init, (3 * H, self.input_size))
+        w_hh = self.param("weight_hh", init, (3 * H, H))
+        gi = inputs @ w_ih.T
+        gh = hx @ w_hh.T
+        if self.use_bias:
+            gi = gi + self.param("bias_ih", nn.initializers.zeros, (3 * H,))
+            gh = gh + self.param("bias_hh", nn.initializers.zeros, (3 * H,))
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=1)
+        reset_gate = nn.sigmoid(i_r + h_r)
+        update_gate = nn.sigmoid(i_z + h_z)
+        new_state = jnp.tanh(i_n + reset_gate * h_n)
+        att = att_score.reshape(-1, 1)
+        update_gate = att * update_gate
+        return (1.0 - update_gate) * hx + update_gate * new_state
+
+
+class DynamicGRU(nn.Module):
+    """AGRU/AUGRU over padded sequences via ``lax.scan``
+    (replaces PackedSequence loop, reference ``sequence.py:285-320``).
+
+    inputs [B, T, I], att_scores [B, T], lengths [B] -> outputs [B, T, H].
+    Hidden state freezes for t >= length, matching packed-sequence semantics.
+    """
+
+    input_size: int
+    hidden_size: int
+    use_bias: bool = True
+    gru_type: str = "AGRU"
+
+    def setup(self):
+        if self.gru_type == "AGRU":
+            self.rnn = AGRUCell(self.input_size, self.hidden_size, self.use_bias)
+        elif self.gru_type == "AUGRU":
+            self.rnn = AUGRUCell(self.input_size, self.hidden_size, self.use_bias)
+        else:
+            raise NotImplementedError(self.gru_type)
+
+    def __call__(self, inputs, att_scores, lengths, hx=None):
+        B, T, _ = inputs.shape
+        if hx is None:
+            hx = jnp.zeros((B, self.hidden_size), dtype=inputs.dtype)
+
+        scan_cell = nn.scan(
+            lambda cell, h, xs: _scan_body(cell, h, xs, lengths),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, outs = scan_cell(self.rnn, hx, (inputs, att_scores, _time_idx(B, T)))
+        return outs
+
+
+def _time_idx(B, T):
+    return jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+
+
+def _scan_body(cell, h, xs, lengths):
+    x_t, a_t, t = xs
+    h_new = cell(x_t, h, a_t)
+    valid = (t.reshape(-1) < lengths.reshape(-1)).astype(h.dtype)[:, None]
+    h_out = valid * h_new + (1 - valid) * h
+    return h_out, h_out
