@@ -10,6 +10,10 @@ vs_baseline: ratio vs the reference PyTorch implementation's train-step
 throughput measured on this container's CPU (torch has no TPU path; the repo
 publishes no numbers — BASELINE.md).  Measured 2026-08-17 with
 /root/reference xDeepFM, identical shapes/optimizer: see REFERENCE_BASELINE.
+
+Timing is slope-based (t(N2)-t(N1))/(N2-N1) over chained steps with a value
+fetch at the end, so the per-call device-tunnel RTT cancels out and only true
+device step time is measured.
 """
 
 import json
@@ -19,7 +23,7 @@ import numpy as np
 
 # examples/s of the reference torch implementation (CPU, this machine),
 # measured via forward+sum-BCE+reg+backward+Adam step at batch 4096.
-REFERENCE_BASELINE = 11309.0
+REFERENCE_BASELINE = 279.0
 
 BATCH = 4096
 N_SPARSE, N_DENSE, VOCAB, EMB = 26, 13, 10000, 10
@@ -51,33 +55,30 @@ def main():
     y = jnp.asarray(rng.integers(0, 2, size=(BATCH, 1)).astype(np.float32))
     mask = jnp.ones((BATCH,), jnp.float32)
 
-    def step(i):
-        (
-            model.params,
-            model.batch_stats,
-            model.opt_state,
-            total,
-            loss,
-            mvals,
-        ) = model._train_step(
-            model.params, model.batch_stats, model.opt_state, batch, y, mask, i
-        )
-        return total
+    def run(n, i0):
+        t0 = time.time()
+        total = None
+        for i in range(i0, i0 + n):
+            (
+                model.params,
+                model.batch_stats,
+                model.opt_state,
+                total,
+                loss,
+                mvals,
+            ) = model._train_step(
+                model.params, model.batch_stats, model.opt_state, batch, y,
+                mask, i,
+            )
+        float(total)  # value fetch forces completion of the whole chain
+        return time.time() - t0
 
-    # warmup / compile
-    t = step(0)
-    t.block_until_ready()
-    for i in range(1, 4):
-        t = step(i)
-    t.block_until_ready()
-
-    steps = 30
-    t0 = time.time()
-    for i in range(4, 4 + steps):
-        t = step(i)
-    t.block_until_ready()
-    dt = time.time() - t0
-    examples_per_s = steps * BATCH / dt
+    run(2, 0)  # compile + warmup
+    n1, n2 = 10, 40
+    d1 = run(n1, 2)
+    d2 = run(n2, 2 + n1)
+    step_s = (d2 - d1) / (n2 - n1)
+    examples_per_s = BATCH / step_s
 
     print(
         json.dumps(

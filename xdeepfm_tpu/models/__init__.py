@@ -1,1 +1,21 @@
+from .afm import AFM
+from .afn import AFN
+from .autoint import AutoInt
+from .ccpm import CCPM
+from .dcn import DCN
+from .dcnmix import DCNMix
+from .deepfm import DeepFM
+from .difm import DIFM
+from .fibinet import FiBiNET
+from .ifm import IFM
+from .mlr import MLR
+from .nfm import NFM
+from .onn import ONN
+from .pnn import PNN
+from .wdl import WDL
 from .xdeepfm import xDeepFM
+
+__all__ = [
+    "AFM", "AFN", "AutoInt", "CCPM", "DCN", "DCNMix", "DeepFM", "DIFM",
+    "FiBiNET", "IFM", "MLR", "NFM", "ONN", "PNN", "WDL", "xDeepFM",
+]

@@ -1,0 +1,110 @@
+"""MLR / piece-wise linear model (reference: ``deepctr/models/mlr.py:17-100``).
+
+Note: the reference's ``get_learner_score`` uses ``region_linear_model`` for
+the learner logits too (``mlr.py:84-86``) — ``base_linear_model`` exists but
+never runs.  Replicated verbatim for behavior parity.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..basemodel import BaseModel
+from ..embeddings import LinearModel
+from ..features import FeatureSchema
+from ..nn.core import PredictionLayer
+
+
+class MLRModule(nn.Module):
+    region_cols: tuple
+    base_cols: tuple
+    bias_cols: tuple
+    schema: FeatureSchema
+    region_num: int = 4
+    init_std: float = 1e-4
+    task: str = "binary"
+
+    def setup(self):
+        self.region_linear_model = [
+            LinearModel(
+                feature_columns=self.region_cols, schema=self.schema,
+                init_std=self.init_std, name=f"region_linear_model_{i}",
+            )
+            for i in range(self.region_num)
+        ]
+        self.base_linear_model = [
+            LinearModel(
+                feature_columns=self.base_cols, schema=self.schema,
+                init_std=self.init_std, name=f"base_linear_model_{i}",
+            )
+            for i in range(self.region_num)
+        ]
+        if len(self.bias_cols) > 0:
+            self.bias_linear = LinearModel(
+                feature_columns=self.bias_cols, schema=self.schema,
+                init_std=self.init_std, name="bias_linear",
+            )
+            self.bias_prediction = PredictionLayer(
+                task="binary", use_bias=False, name="bias_prediction"
+            )
+        self.prediction_layer = PredictionLayer(
+            task=self.task, use_bias=False, name="prediction_layer"
+        )
+
+    def __call__(self, batch, training: bool = False):
+        region_logit = jnp.concatenate(
+            [m(batch) for m in self.region_linear_model], axis=-1
+        )
+        region_score = nn.softmax(region_logit, axis=-1)
+        learner_score = self.prediction_layer(
+            jnp.concatenate([m(batch) for m in self.region_linear_model], axis=-1)
+        )
+        final_logit = jnp.sum(region_score * learner_score, axis=-1, keepdims=True)
+        if len(self.bias_cols) > 0:
+            bias_score = self.bias_prediction(self.bias_linear(batch))
+            final_logit = final_logit * bias_score
+        # reference returns the combined score directly (no PredictionLayer on
+        # top, mlr.py:96-99)
+        return {"pred": final_logit}
+
+
+class MLR(BaseModel):
+    def __init__(
+        self, region_feature_columns, base_feature_columns=None,
+        bias_feature_columns=None, region_num=4, l2_reg_linear=1e-5,
+        init_std=0.0001, seed=1024, task="binary", device=None, gpus=None,
+    ):
+        if region_num <= 1:
+            raise ValueError("region_num must > 1")
+        super().__init__(
+            region_feature_columns, region_feature_columns, task=task,
+            device=device, gpus=gpus, init_std=init_std, seed=seed,
+            l2_reg_linear=l2_reg_linear,
+        )
+        self.region_num = region_num
+        self.region_feature_columns = tuple(region_feature_columns)
+        self.base_feature_columns = tuple(
+            base_feature_columns
+            if base_feature_columns is not None and len(base_feature_columns) > 0
+            else region_feature_columns
+        )
+        self.bias_feature_columns = tuple(bias_feature_columns or [])
+        # schema spans region + base + bias columns (mlr.py:58-59)
+        self.schema = FeatureSchema.build(
+            list(self.region_feature_columns)
+            + list(self.base_feature_columns)
+            + list(self.bias_feature_columns)
+        )
+        self._finalize()
+
+    def _build_module(self):
+        return MLRModule(
+            region_cols=self.region_feature_columns,
+            base_cols=self.base_feature_columns,
+            bias_cols=self.bias_feature_columns,
+            schema=self.schema,
+            region_num=self.region_num,
+            init_std=self.init_std,
+            task=self.task,
+        )
