@@ -19,9 +19,23 @@ import numpy as np
 
 
 def roc_auc_score(y_true, y_score):
-    """Exact AUC with average ranks for ties (== sklearn.roc_auc_score)."""
-    y_true = np.asarray(y_true).reshape(-1)
-    y_score = np.asarray(y_score).reshape(-1)
+    """Exact AUC with average ranks for ties (== sklearn.roc_auc_score).
+
+    2D [N, T] inputs -> macro average over columns (sklearn multilabel
+    behavior, used by the reference's multitask evaluate path)."""
+    y_true = np.asarray(y_true)
+    y_score = np.asarray(y_score)
+    if y_true.ndim == 2 and y_true.shape[1] > 1:
+        return float(
+            np.mean(
+                [
+                    roc_auc_score(y_true[:, i], y_score[:, i])
+                    for i in range(y_true.shape[1])
+                ]
+            )
+        )
+    y_true = y_true.reshape(-1)
+    y_score = y_score.reshape(-1)
     pos = y_true > 0.5
     n_pos = int(pos.sum())
     n_neg = len(y_true) - n_pos

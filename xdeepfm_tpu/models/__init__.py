@@ -14,8 +14,11 @@ from .onn import ONN
 from .pnn import PNN
 from .wdl import WDL
 from .xdeepfm import xDeepFM
+from .xdeepfm_attn import xDeepFMAttention, xDeepFMAttentionV2
+from .multitask import ESMM, MMOE, PLE, SharedBottom
 
 __all__ = [
     "AFM", "AFN", "AutoInt", "CCPM", "DCN", "DCNMix", "DeepFM", "DIFM",
-    "FiBiNET", "IFM", "MLR", "NFM", "ONN", "PNN", "WDL", "xDeepFM",
+    "ESMM", "FiBiNET", "IFM", "MLR", "MMOE", "NFM", "ONN", "PLE", "PNN",
+    "SharedBottom", "WDL", "xDeepFM", "xDeepFMAttention", "xDeepFMAttentionV2",
 ]

@@ -144,6 +144,54 @@ def _gru_param_init(hidden_size: int):
     return init
 
 
+class GRU(nn.Module):
+    """Standard GRU over padded sequences with packed-sequence semantics:
+    hidden state freezes and outputs are zero past each row's length
+    (torch ``pack_padded_sequence`` + ``pad_packed_sequence(padding_value=0)``).
+
+    Weight init: normal(init_std) when ``init_std`` is set (the reference
+    re-inits GRU weights this way, ``dien.py:190-192``); biases keep the torch
+    default U(±1/sqrt(H)).
+    """
+
+    input_size: int
+    hidden_size: int
+    init_std: float = 0.001
+
+    @nn.compact
+    def __call__(self, inputs, lengths, h0=None):
+        B, T, _ = inputs.shape
+        H = self.hidden_size
+        w_init = nn.initializers.normal(stddev=self.init_std)
+        b_init = _gru_param_init(H)
+        w_ih = self.param("weight_ih", w_init, (3 * H, self.input_size))
+        w_hh = self.param("weight_hh", w_init, (3 * H, H))
+        b_ih = self.param("bias_ih", b_init, (3 * H,))
+        b_hh = self.param("bias_hh", b_init, (3 * H,))
+        if h0 is None:
+            h0 = jnp.zeros((B, H), dtype=inputs.dtype)
+        lengths = lengths.reshape(-1)
+
+        def body(h, xs):
+            x_t, t = xs
+            gi = x_t @ w_ih.T + b_ih
+            gh = h @ w_hh.T + b_hh
+            i_r, i_z, i_n = jnp.split(gi, 3, axis=1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=1)
+            r = nn.sigmoid(i_r + h_r)
+            z = nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            h_new = (1.0 - z) * n + z * h
+            valid = (t < lengths).astype(h.dtype)[:, None]
+            h_out = valid * h_new + (1 - valid) * h
+            out_t = valid * h_out  # zero outputs at padded positions
+            return h_out, out_t
+
+        xs = (jnp.swapaxes(inputs, 0, 1), jnp.arange(T))
+        h_last, outs = jax.lax.scan(body, h0, xs)
+        return jnp.swapaxes(outs, 0, 1), h_last  # [B, T, H], [B, H]
+
+
 class AGRUCell(nn.Module):
     """Attention-based GRU: attention score replaces the update gate
     (reference: ``sequence.py:192-235``)."""
