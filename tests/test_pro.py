@@ -1,0 +1,103 @@
+"""xDeepFM-Pro: SFG loss, AutoDis, label-aware attention, diagnostics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xdeepfm_tpu.features import DenseFeat, SparseFeat
+from xdeepfm_tpu.pro import xDeepFMPro, xDeepFMProLight
+from xdeepfm_tpu.pro.autodis import AutoDisLayer
+from xdeepfm_tpu.pro.sfg import sfg_loss
+
+
+def make_data(n=256, n_sparse=4, n_dense=3, vocab=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = {f"C{i}": rng.integers(0, vocab, size=n).astype(np.int64) for i in range(n_sparse)}
+    x.update(
+        {f"I{i}": rng.uniform(0, 1, size=n).astype(np.float32) for i in range(n_dense)}
+    )
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=4) for i in range(n_sparse)] + [
+        DenseFeat(f"I{i}", 1) for i in range(n_dense)
+    ]
+    return x, y, cols
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(use_sfg=True, sfg_positive_only=True, sfg_use_label_attention=True),
+        dict(use_sfg=True, sfg_positive_only=False, sfg_use_label_attention=False),
+        dict(use_sfg=False),
+        dict(use_sfg=True, use_autodis=True, autodis_buckets=4),
+    ],
+)
+def test_pro_trains(kwargs):
+    x, y, cols = make_data()
+    model = xDeepFMPro(
+        cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4, 4),
+        sfg_hidden_units=(8, 4), **kwargs,
+    )
+    model.compile("adam", "binary_crossentropy", metrics=["auc"])
+    hist = model.fit(x, y, batch_size=64, epochs=3, verbose=0)
+    assert hist.history["loss"][-1] < hist.history["loss"][0]
+    if kwargs.get("use_sfg"):
+        assert "sfg_loss" in hist.history, hist.history.keys()
+        assert np.isfinite(hist.history["sfg_loss"]).all()
+    pred = model.predict(x, 100)
+    assert pred.shape == (len(y), 1)
+
+
+def test_pro_light_defaults():
+    x, y, cols = make_data(n=128)
+    model = xDeepFMProLight(cols, cols, cin_layer_size=(4,), dnn_hidden_units=(8,))
+    assert model.sfg_weight == 0.05
+    model.compile("adam", "binary_crossentropy", metrics=[])
+    model.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+
+def test_embedding_analysis():
+    x, y, cols = make_data(n=64)
+    model = xDeepFMPro(cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4,))
+    model.compile("adam", "binary_crossentropy", metrics=[])
+    stats = model.get_embedding_analysis({k: v[:32] for k, v in x.items()})
+    assert stats["num_fields"] == 4
+    assert stats["embedding_dim"] == 4
+    assert np.isfinite(stats["embedding_variance"])
+    assert -1.0 <= stats["avg_sample_cosine_similarity"] <= 1.0
+
+
+def test_sfg_loss_positive_masking():
+    rng = np.random.default_rng(0)
+    B, V, D = 8, 5, 3
+    logits = {"C0": jnp.asarray(rng.normal(size=(B, V)).astype(np.float32))}
+    targets = {"C0": jnp.asarray(rng.integers(0, V, B))}
+    dense_p = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    dense_t = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    labels_all_neg = jnp.zeros((B, 1))
+    loss_neg = sfg_loss(
+        logits, dense_p, targets, dense_t, labels_all_neg, positive_only=True
+    )
+    # no positives -> ~0 loss (normalized by eps guard)
+    assert float(loss_neg) < 1e-3
+    labels_pos = jnp.ones((B, 1))
+    loss_pos = sfg_loss(
+        logits, dense_p, targets, dense_t, labels_pos, positive_only=True
+    )
+    loss_all = sfg_loss(
+        logits, dense_p, targets, dense_t, labels_pos, positive_only=False
+    )
+    np.testing.assert_allclose(float(loss_pos), float(loss_all), rtol=1e-5)
+
+
+def test_autodis_softmax_weights():
+    layer = AutoDisLayer(num_features=3, num_buckets=4, embedding_dim=5)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (6, 3)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    flat, emb = layer.apply(variables, x)
+    assert flat.shape == (6, 15)
+    assert emb.shape == (6, 3, 5)
+    idx = layer.bucket_indices(x, variables)
+    assert idx.shape == (6, 3)
+    assert np.all((np.asarray(idx) >= 0) & (np.asarray(idx) < 4))

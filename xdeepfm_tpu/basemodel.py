@@ -140,6 +140,11 @@ class BaseModel:
             batch["vl_" + f.name] = np.zeros((n, f.maxlen), np.int32)
             if f.length_name is not None:
                 batch["len_" + f.length_name] = np.ones((n, 1), np.int32)
+        # labels are available to modules at train time (SFG decoders etc.,
+        # reference forward_with_sfg(x, y), basemodel_sfg.py:403-417); included
+        # here so label-conditioned params materialize at init.
+        batch["labels"] = np.zeros((n, 1), np.float32)
+        batch["sample_mask"] = np.ones((n,), np.float32)
         return batch
 
     def _init_variables(self):
@@ -246,6 +251,9 @@ class BaseModel:
 
         def train_step(params, batch_stats, opt_state, batch, y, mask, step):
             rng = jax.random.fold_in(self._base_rng, step)
+            batch = dict(batch)
+            batch["labels"] = y[:, :1] if y.ndim > 1 else y[:, None]
+            batch["sample_mask"] = mask.reshape(-1)
 
             def loss_fn(p):
                 out, new_bs = apply_train(p, batch_stats, batch, rng)
@@ -277,6 +285,10 @@ class BaseModel:
                         pred_first.reshape(-1),
                         jnp.repeat(mask.reshape(-1), pred_first.shape[-1]),
                     )
+            # extra scalar logs published by the module (e.g. sfg_loss,
+            # mirroring basemodel_sfg.py:366-367)
+            for k, v in out.get("logs", {}).items():
+                mvals["log:" + k] = v
             return new_params, new_bs, new_opt_state, total, loss, mvals
 
         def predict_step(params, batch_stats, batch):
@@ -395,7 +407,16 @@ class BaseModel:
                     jnp.asarray(mask),
                     global_step,
                 )
-                pending.append((total, mvals if verbose > 0 else {}))
+                pending.append(
+                    (
+                        total,
+                        mvals
+                        if verbose > 0
+                        else {
+                            k: v for k, v in mvals.items() if k.startswith("log:")
+                        },
+                    )
+                )
                 global_step += 1
             # single host sync point per epoch
             for total, mvals in pending:
@@ -405,7 +426,8 @@ class BaseModel:
 
             epoch_logs["loss"] = total_loss_epoch / n
             for name, result in train_result.items():
-                epoch_logs[name] = float(np.sum(result) / steps_per_epoch)
+                key = name[4:] if name.startswith("log:") else name
+                epoch_logs[key] = float(np.sum(result) / steps_per_epoch)
 
             if do_validation:
                 eval_result = self._evaluate_packed(val_batch, val_y, batch_size)

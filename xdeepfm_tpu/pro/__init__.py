@@ -1,0 +1,13 @@
+from .autodis import AutoDisLayer, DenseFeatureEncoder
+from .sfg import LabelAwareAttention, SFGDecoder, sfg_loss
+from .xdeepfm_pro import xDeepFMPro, xDeepFMProLight
+
+__all__ = [
+    "xDeepFMPro",
+    "xDeepFMProLight",
+    "SFGDecoder",
+    "sfg_loss",
+    "LabelAwareAttention",
+    "AutoDisLayer",
+    "DenseFeatureEncoder",
+]
