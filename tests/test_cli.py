@@ -1,0 +1,131 @@
+"""CLI integration: generated Criteo-like corpus -> train -> artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def criteo_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("criteo")
+    path = d / "train.txt"
+    cols = (
+        ["label"]
+        + [f"I{i}" for i in range(1, 14)]
+        + [f"C{i}" for i in range(1, 27)]
+    )
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")  # header comma-separated
+        for _ in range(400):
+            label = rng.integers(0, 2)
+            dense = [
+                f"{rng.uniform(0, 100):.2f}" if rng.uniform() > 0.1 else ""
+                for _ in range(13)
+            ]
+            sparse = [
+                f"cat{rng.integers(0, 15):x}" if rng.uniform() > 0.05 else ""
+                for _ in range(26)
+            ]
+            # data tab-separated (mixed-separator case, xdftrain.py:142-152)
+            f.write("\t".join([str(label)] + dense + sparse) + "\n")
+    return str(path)
+
+
+def _common_args(criteo_file, out):
+    return [
+        "--data_path", criteo_file, "--out_dir", out, "--mode", "eval",
+        "--epochs", "1", "--batch_size", "128", "--embedding_dim", "4",
+        "--verbose", "0",
+    ]
+
+
+def test_xdftrain_eval(criteo_file, tmp_path):
+    from xdeepfm_tpu.cli.xdftrain import main
+
+    out = str(tmp_path / "out")
+    log = main(_common_args(criteo_file, out))
+    for artifact in (
+        "history.json",
+        "preprocess.pkl",
+        "training_log.json",
+        "xdeepfm_best.weights",
+        "xdeepfm_weights.bin",
+    ):
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+    assert 0.0 <= log["results"]["eval_auc"] <= 1.0
+    with open(os.path.join(out, "training_log.json")) as f:
+        saved = json.load(f)
+    assert saved["mode"] == "eval"
+    assert saved["data_info"]["train_samples"] == 360
+
+
+def test_xdftrain_final(criteo_file, tmp_path):
+    from xdeepfm_tpu.cli.xdftrain import main
+
+    out = str(tmp_path / "out_final")
+    main(
+        [
+            "--data_path", criteo_file, "--out_dir", out, "--mode", "final",
+            "--epochs", "1", "--batch_size", "128", "--embedding_dim", "4",
+            "--verbose", "0",
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "xdeepfm_full_weights.bin"))
+    assert os.path.exists(os.path.join(out, "history_full.json"))
+
+
+def test_xdftrain_attn(criteo_file, tmp_path):
+    from xdeepfm_tpu.cli.xdftrain_attn import main
+
+    out = str(tmp_path / "out_attn")
+    log = main(
+        _common_args(criteo_file, out)
+        + ["--model_version", "v2", "--cin_num_heads", "2"]
+    )
+    assert log["model_config"]["model_version"] == "v2"
+
+
+def test_xdftrain_pro(criteo_file, tmp_path):
+    from xdeepfm_tpu.cli.xdftrain_pro import main
+
+    out = str(tmp_path / "out_pro")
+    log = main(
+        _common_args(criteo_file, out)
+        + ["--use_sfg", "--sfg_weight", "0.1", "--sfg_hidden_units", "16", "8"]
+    )
+    assert log["model_config"]["use_sfg"] is True
+    assert "sfg_loss" in log["history"]
+
+
+def test_preprocess_roundtrip(criteo_file, tmp_path):
+    """Persisted preprocessors reproduce the training-time transform."""
+    import pickle
+
+    from xdeepfm_tpu.cli.xdftrain import main
+    from xdeepfm_tpu.data import prepare_features, read_criteo_like
+
+    out = str(tmp_path / "out_pp")
+    main(_common_args(criteo_file, out))
+    with open(os.path.join(out, "preprocess.pkl"), "rb") as f:
+        pp = pickle.load(f)
+    df = read_criteo_like(criteo_file)
+    dfp, _, _ = prepare_features(
+        df, pp["sparse_features"], pp["dense_features"],
+        encoders=pp["encoders"], scaler=pp["scaler"],
+    )
+    assert dfp["C1"].dtype == np.int64
+    assert (dfp[pp["dense_features"]].values >= 0).all()
+    assert (dfp[pp["dense_features"]].values <= 1.0 + 1e-6).all()
+
+
+def test_safe_label_encoder_unknown():
+    import pandas as pd
+
+    from xdeepfm_tpu.data import SafeLabelEncoder
+
+    le = SafeLabelEncoder.fit(pd.Series(["a", "b", "c", "a"]))
+    out = le.transform(pd.Series(["b", "zzz", "a"]))
+    assert out.tolist() == [2, 0, 1]

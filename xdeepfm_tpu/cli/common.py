@@ -1,0 +1,367 @@
+"""Shared trainer driver for the xdftrain CLIs.
+
+The reference duplicates ~700 LoC across four scripts (``xdftrain.py``,
+``xdftrain_v1.py``, ``xdftrain_attn.py``, ``xdftrain_pro.py``); here the
+eval/final flows (``xdftrain.py:302-704``) are implemented once and
+parameterized by a model-builder callback.  Flag surface and artifacts mirror
+the reference: preprocessors, best + final weights, history.json,
+training_log.json, TensorBoard/JSONL scalars, test prediction CSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import random
+import time
+from datetime import datetime
+
+import numpy as np
+
+from ..callbacks import EarlyStopping, LogWriter, ModelCheckpoint
+from ..data import (
+    CRITEO_DENSE,
+    CRITEO_SPARSE,
+    build_feature_columns,
+    build_model_input,
+    prepare_features,
+    read_criteo_like,
+    read_criteo_test,
+    train_test_split,
+)
+from ..metrics import log_loss, roc_auc_score
+
+
+def set_seed(seed: int = 2025):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def base_arg_parser() -> argparse.ArgumentParser:
+    """Flag surface of ``xdftrain.py:707-738``."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--eval_path", type=str, default=None)
+    p.add_argument("--test_path", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default="./outputs_xdeepfm")
+    p.add_argument("--mode", type=str, choices=["eval", "final"], default="eval")
+    p.add_argument("--device", type=str, default="tpu")
+    p.add_argument("--seed", type=int, default=2025)
+    p.add_argument("--embedding_dim", type=int, default=10)
+    p.add_argument("--l2_reg_embedding", type=float, default=1e-5)
+    p.add_argument("--l2_reg_dnn", type=float, default=1e-5)
+    p.add_argument("--dnn_dropout", type=float, default=0.0)
+    p.add_argument("--learning_rate", type=float, default=0.001)
+    p.add_argument(
+        "--optimizer", type=str, default="adam",
+        choices=["adam", "adagrad", "sgd"],
+    )
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--pred_batch_size", type=int, default=8192)
+    p.add_argument("--val_size", type=float, default=0.1)
+    p.add_argument("--use_early_stopping", action="store_true")
+    p.add_argument("--patience", type=int, default=50)
+    p.add_argument("--stratify", action="store_true")
+    p.add_argument("--verbose", type=int, default=1, choices=[0, 1, 2])
+    return p
+
+
+def _load_labeled(path, name):
+    import pandas as pd
+
+    print(f"[INFO] Loading {name} data from: {path}")
+    df = read_criteo_like(path)
+    print(f"[DEBUG] {name} data shape: {df.shape}")
+    df["label"] = pd.to_numeric(df["label"], errors="coerce")
+    nan_count = int(df["label"].isna().sum())
+    if nan_count > 0:
+        print(f"[WARN] Found {nan_count} NaN labels, filling with 0")
+    df["label"] = df["label"].fillna(0).astype("float32")
+    pos_ratio = float((df["label"] == 1).sum() / len(df))
+    print(f"[DEBUG] {name} positive ratio: {pos_ratio:.4f}")
+    if pos_ratio == 0.0:
+        print(
+            "[ERROR] All labels are 0! This will cause loss=0. Check data file "
+            "format!"
+        )
+    elif pos_ratio == 1.0:
+        print("[ERROR] All labels are 1! Check data file format!")
+    return df, pos_ratio
+
+
+def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
+    """``xdftrain.py:302-550``: train/validate/(test), best-ckpt reload, exact
+    eval metrics, artifact persistence."""
+    import pandas as pd
+
+    set_seed(args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    tb_log_dir = os.path.join(args.out_dir, f"tensorboard_{timestamp}")
+    os.makedirs(tb_log_dir, exist_ok=True)
+    print(f"[INFO] TensorBoard logs: {tb_log_dir}")
+    start_time = time.time()
+
+    sparse_features = list(CRITEO_SPARSE)
+    dense_features = list(CRITEO_DENSE)
+    target = "label"
+
+    train_df, train_pos_ratio = _load_labeled(args.data_path, "Train")
+    if args.eval_path:
+        eval_df, _ = _load_labeled(args.eval_path, "Eval")
+    else:
+        print(
+            f"[INFO] No eval_path provided, splitting {args.val_size*100:.0f}% "
+            "from train data for validation"
+        )
+        train_df, eval_df = train_test_split(
+            train_df, test_size=args.val_size, random_state=args.seed,
+            stratify=train_df[target] if args.stratify else None,
+        )
+        print(f"[DEBUG] After split - Train: {len(train_df)}, Eval: {len(eval_df)}")
+
+    test_df = None
+    if args.test_path:
+        print(f"[INFO] Loading test data from: {args.test_path}")
+        test_df = read_criteo_test(args.test_path, sparse_features, dense_features)
+
+    # fit encoders on train+eval combined (xdftrain.py:372-383)
+    all_labeled_df = pd.concat([train_df, eval_df], axis=0, ignore_index=True)
+    all_labeled_df, encoders, scaler = prepare_features(
+        all_labeled_df, sparse_features, dense_features, fit_df=all_labeled_df
+    )
+    train_dfp = all_labeled_df.iloc[: len(train_df)].copy()
+    eval_dfp = all_labeled_df.iloc[len(train_df) :].copy()
+    test_dfp = None
+    if test_df is not None:
+        test_dfp, _, _ = prepare_features(
+            test_df, sparse_features, dense_features, encoders=encoders,
+            scaler=scaler,
+        )
+
+    linear_cols, dnn_cols, feature_names = build_feature_columns(
+        all_labeled_df, sparse_features, dense_features,
+        embedding_dim=args.embedding_dim,
+    )
+    train_x = build_model_input(train_dfp, feature_names)
+    eval_x = build_model_input(eval_dfp, feature_names)
+    y_train = train_dfp[[target]].values
+    y_eval = eval_dfp[[target]].values
+
+    model = build_model(args, linear_cols, dnn_cols)
+
+    ckpt_path = os.path.join(args.out_dir, f"{model_name}_best.weights")
+    callbacks = [
+        LogWriter(log_dir=tb_log_dir),
+        ModelCheckpoint(
+            filepath=ckpt_path, monitor="val_auc", save_best_only=True,
+            save_weights_only=True, mode="max", verbose=1,
+        ),
+    ]
+    if args.use_early_stopping:
+        print(f"[INFO] Early stopping enabled with patience={args.patience}")
+        callbacks.insert(
+            1,
+            EarlyStopping(
+                monitor="val_auc", patience=args.patience, mode="max", verbose=1
+            ),
+        )
+    else:
+        print(
+            f"[INFO] Early stopping disabled - will train for full "
+            f"{args.epochs} epochs"
+        )
+
+    print("\n[INFO] Starting training...")
+    history = model.fit(
+        train_x, y_train, batch_size=args.batch_size, epochs=args.epochs,
+        verbose=args.verbose, validation_data=(eval_x, y_eval), shuffle=True,
+        callbacks=callbacks,
+    )
+
+    if os.path.exists(ckpt_path):
+        model.load_weights(ckpt_path)
+
+    eval_pred = model.predict(eval_x, batch_size=args.pred_batch_size)
+    eval_logloss = log_loss(y_eval, eval_pred)
+    eval_auc = roc_auc_score(y_eval, eval_pred)
+    training_time = time.time() - start_time
+    print(f"\n[Eval] eval LogLoss = {eval_logloss:.6f}")
+    print(f"[Eval] eval AUC     = {eval_auc:.6f}")
+    print(
+        f"[Eval] Training time: {training_time:.2f} seconds "
+        f"({training_time/60:.2f} minutes)"
+    )
+
+    if test_dfp is not None:
+        print(f"\n[INFO] Running inference on test data ({len(test_dfp)} samples)...")
+        test_pred = model.predict(
+            build_model_input(test_dfp, feature_names),
+            batch_size=args.pred_batch_size,
+        )
+        test_pred_path = os.path.join(args.out_dir, "test_predictions.csv")
+        pd.DataFrame({"predicted_ctr": test_pred.flatten()}).to_csv(
+            test_pred_path, index=False
+        )
+        print(f"[INFO] Test predictions saved to: {test_pred_path}")
+
+    writer = LogWriter(log_dir=tb_log_dir)
+    writer.scalar("Eval/LogLoss", eval_logloss, 0)
+    writer.scalar("Eval/AUC", eval_auc, 0)
+    writer.text("Model/Config", str(vars(args)), 0)
+    writer.close()
+
+    with open(os.path.join(args.out_dir, "preprocess.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "encoders": encoders,
+                "scaler": scaler,
+                "sparse_features": sparse_features,
+                "dense_features": dense_features,
+                "feature_names": feature_names,
+            },
+            f,
+        )
+    model.save_weights(os.path.join(args.out_dir, f"{model_name}_weights.bin"))
+    with open(os.path.join(args.out_dir, "history.json"), "w") as f:
+        json.dump(history.history, f, ensure_ascii=False, indent=2)
+
+    training_log = {
+        "mode": "eval",
+        "timestamp": timestamp,
+        "training_time_seconds": training_time,
+        "data_info": {
+            "train_path": args.data_path,
+            "eval_path": args.eval_path,
+            "test_path": args.test_path,
+            "train_samples": len(train_dfp),
+            "eval_samples": len(eval_dfp),
+            "test_samples": len(test_dfp) if test_dfp is not None else 0,
+            "train_positive_ratio": train_pos_ratio,
+        },
+        "model_config": dict(
+            {
+                "embedding_dim": args.embedding_dim,
+                "l2_reg_embedding": args.l2_reg_embedding,
+                "l2_reg_dnn": args.l2_reg_dnn,
+                "dnn_dropout": args.dnn_dropout,
+                "device": args.device,
+            },
+            **(extra_config or {}),
+        ),
+        "training_config": {
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "use_early_stopping": args.use_early_stopping,
+            "patience": args.patience,
+            "seed": args.seed,
+            "learning_rate": args.learning_rate,
+            "optimizer": args.optimizer,
+        },
+        "results": {
+            "eval_logloss": float(eval_logloss),
+            "eval_auc": float(eval_auc),
+            "best_val_auc": float(max(history.history.get("val_auc", [0])))
+            if history.history
+            else None,
+        },
+        "history": history.history,
+        "tensorboard_log_dir": tb_log_dir,
+    }
+    with open(os.path.join(args.out_dir, "training_log.json"), "w") as f:
+        json.dump(training_log, f, ensure_ascii=False, indent=2)
+    print("\n[INFO] training completed! results saved to", args.out_dir)
+    return training_log
+
+
+def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
+    """``xdftrain.py:553-704``: fit on 100% of the data, metrics disabled."""
+    import pandas as pd
+
+    set_seed(args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    tb_log_dir = os.path.join(args.out_dir, f"tensorboard_{timestamp}")
+    os.makedirs(tb_log_dir, exist_ok=True)
+    start_time = time.time()
+
+    sparse_features = list(CRITEO_SPARSE)
+    dense_features = list(CRITEO_DENSE)
+    df, pos_ratio = _load_labeled(args.data_path, "Full")
+    df, encoders, scaler = prepare_features(
+        df, sparse_features, dense_features, fit_df=df
+    )
+    linear_cols, dnn_cols, feature_names = build_feature_columns(
+        df, sparse_features, dense_features, embedding_dim=args.embedding_dim
+    )
+    x_full = build_model_input(df, feature_names)
+    y_full = df[["label"]].values
+
+    # final mode: metrics=[] to dodge single-class batch failures
+    # (xdftrain.py:609-623)
+    model = build_model(args, linear_cols, dnn_cols, final_mode=True)
+
+    callbacks = [LogWriter(log_dir=tb_log_dir)]
+    history = model.fit(
+        x_full, y_full, batch_size=args.batch_size, epochs=args.epochs,
+        verbose=args.verbose, validation_split=0.0, shuffle=True,
+        callbacks=callbacks,
+    )
+    training_time = time.time() - start_time
+    print(
+        f"\n[Final] Training time: {training_time:.2f} seconds "
+        f"({training_time/60:.2f} minutes)"
+    )
+
+    with open(os.path.join(args.out_dir, "preprocess.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "encoders": encoders,
+                "scaler": scaler,
+                "sparse_features": sparse_features,
+                "dense_features": dense_features,
+                "feature_names": feature_names,
+            },
+            f,
+        )
+    model.save_weights(
+        os.path.join(args.out_dir, f"{model_name}_full_weights.bin")
+    )
+    with open(os.path.join(args.out_dir, "history_full.json"), "w") as f:
+        json.dump(history.history, f, ensure_ascii=False, indent=2)
+    training_log = {
+        "mode": "final",
+        "timestamp": timestamp,
+        "training_time_seconds": training_time,
+        "data_info": {
+            "data_path": args.data_path,
+            "total_samples": len(df),
+            "positive_ratio": pos_ratio,
+        },
+        "model_config": dict(
+            {
+                "embedding_dim": args.embedding_dim,
+                "l2_reg_embedding": args.l2_reg_embedding,
+                "l2_reg_dnn": args.l2_reg_dnn,
+                "dnn_dropout": args.dnn_dropout,
+                "device": args.device,
+            },
+            **(extra_config or {}),
+        ),
+        "training_config": {
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "seed": args.seed,
+            "learning_rate": args.learning_rate,
+            "optimizer": args.optimizer,
+        },
+        "history": history.history,
+        "tensorboard_log_dir": tb_log_dir,
+    }
+    with open(os.path.join(args.out_dir, "training_log_full.json"), "w") as f:
+        json.dump(training_log, f, ensure_ascii=False, indent=2)
+    print("\n[INFO] training completed! results saved to", args.out_dir)
+    return training_log

@@ -1,0 +1,213 @@
+"""Fused Pallas TPU kernel for the CIN layer contraction.
+
+Math (reference ``deepctr/layers/interaction.py:216-224``):
+
+    out[b,o,d] = sum_{h,m} W[o, h*M+m] * x_k[b,h,d] * x_0[b,m,d] + bias[o]
+
+The torch reference (and a naive XLA lowering) materializes the outer-product
+tensor z = [B, H*M, D] in HBM (~1 GB/layer at B=4096).  This kernel reorders to
+rows r=(b,d) and decomposes over the small M axis:
+
+    out[r, :] = sum_m ( xk[r, :] * x0[r, m] ) @ Wm      with Wm = W3[:, :, m].T
+
+Each m-step is a [R, H] lane-broadcast multiply (VPU) feeding a [R,H]x[H,O]
+matmul (MXU) accumulated in VMEM — z never exists in HBM and every matmul has
+K=H (MXU-friendly).  The backward pass reuses the SAME kernel with permuted
+weight layouts:
+
+    dxk = F(g, x0, Wp2),  Wp2[m, o, h] = W3[o, h, m]
+    dx0 = F(g, xk, Wp4),  Wp4[h, o, m] = W3[o, h, m]
+
+and dW accumulates G^T (xk * x0_m) tile-by-tile in a second kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+def _fwd_kernel(a_ref, c_ref, w_ref, b_ref, out_ref, *, M):
+    # a_ref: [R, H]; c_ref: [R, M]; w_ref: [M, H, O]; b_ref: [1, O]
+    a = a_ref[:]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for m in range(M):
+        zm = a * c_ref[:, m : m + 1]  # [R, H] lane-broadcast multiply
+        acc = acc + jnp.dot(
+            zm, w_ref[m], preferred_element_type=jnp.float32
+        )
+    out_ref[:] = acc + b_ref[0, :][None, :]
+
+
+def _fused_contract(a_r, c_r, Wr, bias, *, R, interpret=False):
+    """a_r: [N, H]; c_r: [N, M]; Wr: [M, H, O]; bias: [O] -> [N, O]."""
+    N, H = a_r.shape
+    M = c_r.shape[1]
+    O = Wr.shape[2]
+    kernel = functools.partial(_fwd_kernel, M=M)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        grid=(N // R,),
+        in_specs=[
+            pl.BlockSpec((R, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, H, O), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * M * O,
+            bytes_accessed=4 * (N * H + N * M + M * H * O + N * O),
+            transcendentals=0,
+        ),
+    )(a_r, c_r, Wr, bias.reshape(1, -1))
+
+
+def _dw_kernel(g_ref, a_ref, c_ref, dw_ref, *, M):
+    # g_ref: [R, O]; a_ref: [R, H]; c_ref: [R, M]; dw_ref: [M, O, H]
+    i = pl.program_id(0)
+    a = a_ref[:]
+    g = g_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    for m in range(M):
+        zm = a * c_ref[:, m : m + 1]  # [R, H]
+        dw_ref[m] += jax.lax.dot_general(
+            g, zm,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [O, H]
+
+
+def _dw_contract(g_r, a_r, c_r, *, R, interpret=False):
+    """dW[m, o, h] = sum_n g[n,o] a[n,h] c[n,m]."""
+    N, H = a_r.shape
+    M = c_r.shape[1]
+    O = g_r.shape[1]
+    kernel = functools.partial(_dw_kernel, M=M)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, O, H), jnp.float32),
+        grid=(N // R,),
+        in_specs=[
+            pl.BlockSpec((R, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (M, O, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(g_r, a_r, c_r)
+
+
+def _to_rows(x):
+    """[B, F, D] -> [B*D, F] (row = one (b, d) slice)."""
+    B, F, D = x.shape
+    return x.transpose(0, 2, 1).reshape(B * D, F)
+
+
+def _from_rows(r, B, D):
+    """[B*D, O] -> [B, O, D]."""
+    O = r.shape[1]
+    return r.reshape(B, D, O).transpose(0, 2, 1)
+
+
+def _pad_rows(x, R):
+    N = x.shape[0]
+    Np = _round_up(N, R)
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+    return x
+
+
+_INTERPRET = False
+
+
+def set_interpret(flag: bool):
+    """Interpreter mode for CPU testing."""
+    global _INTERPRET
+    _INTERPRET = flag
+
+
+def _row_tile(n_rows):
+    return 256 if n_rows >= 256 else _round_up(n_rows, 8)
+
+
+def _forward_rows(a, c, Wr, bias):
+    """a: [B, F1, D]; c: [B, F2, D]; Wr: [F2, F1, O] -> [B, O, D]."""
+    B, F1, D = a.shape
+    R = _row_tile(B * D)
+    a_r = _pad_rows(_to_rows(a), R).astype(jnp.float32)
+    c_r = _pad_rows(_to_rows(c), R).astype(jnp.float32)
+    out_r = _fused_contract(
+        a_r, c_r, Wr.astype(jnp.float32), bias.astype(jnp.float32),
+        R=R, interpret=_INTERPRET,
+    )
+    return _from_rows(out_r[: B * D], B, D)
+
+
+@jax.custom_vjp
+def cin_pallas(h, x0, W, b):
+    """Drop-in for ``cin_layer_contract``: h [B,H,D], x0 [B,M,D],
+    W [O, H*M] (channel = h*M + m), b [O] -> [B, O, D]."""
+    out, _ = _cin_pallas_fwd(h, x0, W, b)
+    return out
+
+
+def _w_forward_layout(W, H, M):
+    O = W.shape[0]
+    return W.reshape(O, H, M).transpose(2, 1, 0)  # [M, H, O]
+
+
+def _cin_pallas_fwd(h, x0, W, b):
+    B, H, D = h.shape
+    M = x0.shape[1]
+    out = _forward_rows(h, x0, _w_forward_layout(W, H, M), b)
+    return out, (h, x0, W)
+
+
+def _cin_pallas_bwd(res, g):
+    h, x0, W = res
+    B, H, D = h.shape
+    M = x0.shape[1]
+    O = W.shape[0]
+    W3 = W.reshape(O, H, M)
+    zeros = jnp.zeros((), W.dtype)
+    # dxk[b,h,d] = sum_{o,m} W3[o,h,m] g[b,o,d] x0[b,m,d]
+    dxk = _forward_rows(
+        g, x0, W3.transpose(2, 0, 1), jnp.zeros((H,), W.dtype)
+    )
+    # dx0[b,m,d] = sum_{o,h} W3[o,h,m] g[b,o,d] xk[b,h,d]
+    dx0 = _forward_rows(
+        g, h, W3.transpose(1, 0, 2), jnp.zeros((M,), W.dtype)
+    )
+    # dW3[o,h,m] = sum_{b,d} g[b,o,d] xk[b,h,d] x0[b,m,d]
+    R = _row_tile(B * D)
+    g_r = _pad_rows(_to_rows(g), R).astype(jnp.float32)
+    a_r = _pad_rows(_to_rows(h), R).astype(jnp.float32)
+    c_r = _pad_rows(_to_rows(x0), R).astype(jnp.float32)
+    dW_moh = _dw_contract(g_r, a_r, c_r, R=R, interpret=_INTERPRET)  # [M,O,H]
+    dW = dW_moh.transpose(1, 2, 0).reshape(O, H * M).astype(W.dtype)
+    db = jnp.sum(g, axis=(0, 2))
+    return dxk, dx0, dW, db
+
+
+cin_pallas.defvjp(_cin_pallas_fwd, _cin_pallas_bwd)
