@@ -1,0 +1,133 @@
+"""Distributed-without-a-cluster tests on the 8-device CPU mesh
+(SURVEY.md §4): sharded lookup == replicated lookup, DP+row-sharded training
+== single-device training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xdeepfm_tpu.features import DenseFeat, SparseFeat
+from xdeepfm_tpu.models import xDeepFM
+from xdeepfm_tpu.parallel import make_mesh, shard_batch, shard_model_state
+from xdeepfm_tpu.parallel.sharded_embedding import (
+    set_embedding_mode,
+    sharded_lookup,
+)
+
+
+@pytest.fixture
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)  # (data=4, embed=2)
+
+
+def test_sharded_lookup_matches_replicated(mesh, rng):
+    rows, dim = 64, 8
+    table = rng.normal(size=(rows, dim)).astype(np.float32)
+    ids = rng.integers(0, rows, size=(16, 5)).astype(np.int32)
+    expect = table[ids]
+    table_d = jax.device_put(
+        jnp.asarray(table), NamedSharding(mesh, P("embed", None))
+    )
+    ids_d = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data", None)))
+    got = sharded_lookup(table_d, ids_d, mesh)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-6)
+
+
+def test_sharded_lookup_grads(mesh, rng):
+    rows, dim = 32, 4
+    table = jnp.asarray(rng.normal(size=(rows, dim)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, rows, size=(8, 3)).astype(np.int32))
+
+    def loss_plain(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) ** 2)
+
+    g_plain = jax.grad(loss_plain)(table)
+
+    table_d = jax.device_put(table, NamedSharding(mesh, P("embed", None)))
+    ids_d = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+
+    def loss_sharded(t):
+        return jnp.sum(sharded_lookup(t, ids_d, mesh) ** 2)
+
+    g_sharded = jax.grad(loss_sharded)(table_d)
+    np.testing.assert_allclose(
+        np.asarray(g_sharded), np.asarray(g_plain), rtol=1e-5, atol=1e-6
+    )
+
+
+def _tiny_model_and_batch(seed=3):
+    rng = np.random.default_rng(seed)
+    n = 64  # divisible by data axis 4
+    vocab = 16  # stacked rows 4*16=64 divisible by embed axis 2
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
+    x.update({f"I{i}": rng.uniform(0, 1, n).astype(np.float32) for i in range(2)})
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=8) for i in range(4)] + [
+        DenseFeat(f"I{i}") for i in range(2)
+    ]
+    model = xDeepFM(
+        cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4, 4), seed=11
+    )
+    model.compile("adam", "binary_crossentropy", metrics=[])
+    batch = model.schema.pack(x)
+    return model, batch, y
+
+
+def test_dp_training_step_matches_single_device():
+    """One train step on the (data, embed) mesh == the same step un-sharded."""
+    model1, batch, y = _tiny_model_and_batch()
+    yb = jnp.asarray(y[:, None])
+    mask = jnp.ones((len(y),), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in batch.items()}
+    p1, bs1, o1, total1, loss1, _ = model1._train_step(
+        model1.params, model1.batch_stats, model1.opt_state, xb, yb, mask, 0
+    )
+
+    model2, batch2, y2 = _tiny_model_and_batch()
+    mesh = make_mesh(8)
+    with mesh:
+        shard_model_state(model2, mesh)
+        xb2 = shard_batch(batch2, mesh)
+        yb2 = jax.device_put(
+            jnp.asarray(y2[:, None]), NamedSharding(mesh, P("data", None))
+        )
+        mask2 = jax.device_put(
+            jnp.ones((len(y2),), jnp.float32), NamedSharding(mesh, P("data"))
+        )
+        p2, bs2, o2, total2, loss2, _ = model2._train_step(
+            model2.params, model2.batch_stats, model2.opt_state, xb2, yb2,
+            mask2, 0,
+        )
+    np.testing.assert_allclose(float(total1), float(total2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_shard_map_embedding_mode_in_model():
+    """Full model forward with shard_map lookups == gspmd forward."""
+    model, batch, y = _tiny_model_and_batch()
+    xb = {k: jnp.asarray(v) for k, v in batch.items()}
+    pred_plain = np.asarray(
+        model._predict_step(model.params, model.batch_stats, xb)
+    )
+    mesh = make_mesh(8)
+    try:
+        with mesh:
+            shard_model_state(model, mesh)
+            set_embedding_mode("shard_map", mesh)
+            xb_s = shard_batch(batch, mesh)
+            pred_sharded = np.asarray(
+                model.module.apply(
+                    {"params": model.params}, xb_s, training=False
+                )["pred"]
+            )
+    finally:
+        set_embedding_mode("gspmd", None)
+    np.testing.assert_allclose(pred_sharded, pred_plain, rtol=1e-5, atol=1e-6)

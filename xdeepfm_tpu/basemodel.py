@@ -512,6 +512,36 @@ class BaseModel:
             data = f.read()
         self.set_weights(flax.serialization.from_bytes(self.get_weights(), data))
 
+    def save_checkpoint(self, path, epoch=0):
+        """Full training checkpoint: params + batch_stats + OPTIMIZER STATE +
+        epoch.  The reference never persists optimizer state
+        (SURVEY.md §5 checkpoint/resume); this enables true resume via
+        ``fit(initial_epoch=...)``."""
+        assert self._compiled, "compile() before save_checkpoint()"
+        state = {
+            "params": jax.tree.map(np.asarray, self.params),
+            "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "epoch": epoch,
+        }
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(state))
+
+    def load_checkpoint(self, path):
+        assert self._compiled, "compile() before load_checkpoint()"
+        template = {
+            "params": jax.tree.map(np.asarray, self.params),
+            "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "epoch": 0,
+        }
+        with open(path, "rb") as f:
+            state = flax.serialization.from_bytes(template, f.read())
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        return int(state["epoch"])
+
     # ----------------------------------------------------------- misc parity
 
     @property

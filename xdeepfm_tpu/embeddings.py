@@ -81,9 +81,11 @@ class EmbeddingCollection(nn.Module):
 
     def lookup_ids(self, ids, feat):
         """Gather rows for an int32 id tensor of any shape -> [..., dim]."""
+        from .parallel.sharded_embedding import maybe_sharded_take
+
         dim, off = self._offsets[feat.embedding_name]
         table = self._tables[dim]
-        return jnp.take(table, ids + off, axis=0)
+        return maybe_sharded_take(table, ids + off)
 
     def lookup_sparse(self, batch, feat: SparseFeat):
         """[B, 1, dim] for one SparseFeat (reference ``inputs.py:183-210``)."""
