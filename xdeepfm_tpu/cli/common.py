@@ -66,6 +66,11 @@ def base_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=int, default=50)
     p.add_argument("--stratify", action="store_true")
     p.add_argument("--verbose", type=int, default=1, choices=[0, 1, 2])
+    p.add_argument(
+        "--use_native_parser", action="store_true",
+        help="use the C++ criteo parser/encoder (native/criteo_parser.cpp) "
+        "for single-pass IO instead of pandas",
+    )
     return p
 
 
@@ -92,6 +97,56 @@ def _load_labeled(path, name):
     return df, pos_ratio
 
 
+def _native_load_eval(args):
+    """Native-parser fast path: parse+encode train/eval in C++, scale dense in
+    numpy.  Encoder semantics identical to the pandas path (fit on train then
+    eval extends the vocab == fit on the concatenation, first-appearance
+    order), verified by tests."""
+    from ..data import MinMaxScaler
+    from ..features import DenseFeat, SparseFeat, get_feature_names
+    from ..native import NativeCriteoParser
+
+    parser = NativeCriteoParser()
+    labels_tr, dense_tr, ids_tr = parser.fit_transform(args.data_path)
+    if args.eval_path:
+        labels_ev, dense_ev, ids_ev = parser.fit_transform(args.eval_path)
+    else:
+        n = len(labels_tr)
+        rng = np.random.default_rng(args.seed)
+        n_test = int(round(n * args.val_size))
+        test_idx = rng.permutation(n)[:n_test]
+        mask = np.zeros(n, bool)
+        mask[test_idx] = True
+        labels_ev, dense_ev, ids_ev = labels_tr[mask], dense_tr[mask], ids_tr[mask]
+        labels_tr, dense_tr, ids_tr = (
+            labels_tr[~mask], dense_tr[~mask], ids_tr[~mask],
+        )
+    scaler = MinMaxScaler()
+    scaler.fit(np.concatenate([dense_tr, dense_ev], axis=0))
+    dense_tr = scaler.transform(dense_tr)
+    dense_ev = scaler.transform(dense_ev)
+    vocab = parser.vocab_sizes()
+    cols = [
+        SparseFeat(
+            CRITEO_SPARSE[j], vocabulary_size=int(vocab[j]),
+            embedding_dim=args.embedding_dim,
+        )
+        for j in range(26)
+    ] + [DenseFeat(name, 1) for name in CRITEO_DENSE]
+
+    def to_x(ids, dense):
+        x = {CRITEO_SPARSE[j]: ids[:, j] for j in range(26)}
+        x.update({CRITEO_DENSE[j]: dense[:, j] for j in range(13)})
+        return x
+
+    feature_names = get_feature_names(cols)
+    return (
+        parser, scaler, cols, feature_names,
+        to_x(ids_tr, dense_tr), labels_tr[:, None],
+        to_x(ids_ev, dense_ev), labels_ev[:, None],
+    )
+
+
 def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
     """``xdftrain.py:302-550``: train/validate/(test), best-ckpt reload, exact
     eval metrics, artifact persistence."""
@@ -109,47 +164,97 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
     dense_features = list(CRITEO_DENSE)
     target = "label"
 
-    train_df, train_pos_ratio = _load_labeled(args.data_path, "Train")
-    if args.eval_path:
-        eval_df, _ = _load_labeled(args.eval_path, "Eval")
+    use_native = getattr(args, "use_native_parser", False)
+    if use_native:
+        from .. import native as native_mod
+
+        if not native_mod.available():
+            print("[WARN] native parser unavailable; falling back to pandas")
+            use_native = False
+
+    test_x = None
+    n_test = 0
+    if use_native:
+        print("[INFO] Using native C++ criteo parser")
+        (
+            parser, scaler, cols, feature_names,
+            train_x, y_train, eval_x, y_eval,
+        ) = _native_load_eval(args)
+        linear_cols = dnn_cols = cols
+        train_pos_ratio = float((y_train == 1).mean())
+        if args.test_path:
+            _, dense_te, ids_te = parser.transform(
+                args.test_path, with_label=False
+            )
+            dense_te = scaler.transform(dense_te)
+            test_x = {CRITEO_SPARSE[j]: ids_te[:, j] for j in range(26)}
+            test_x.update(
+                {CRITEO_DENSE[j]: dense_te[:, j] for j in range(13)}
+            )
+            n_test = len(ids_te)
+        preprocess_payload = {
+            "native": True,
+            "scaler": scaler,
+            "sparse_features": sparse_features,
+            "dense_features": dense_features,
+            "feature_names": feature_names,
+        }
     else:
-        print(
-            f"[INFO] No eval_path provided, splitting {args.val_size*100:.0f}% "
-            "from train data for validation"
-        )
-        train_df, eval_df = train_test_split(
-            train_df, test_size=args.val_size, random_state=args.seed,
-            stratify=train_df[target] if args.stratify else None,
-        )
-        print(f"[DEBUG] After split - Train: {len(train_df)}, Eval: {len(eval_df)}")
+        train_df, train_pos_ratio = _load_labeled(args.data_path, "Train")
+        if args.eval_path:
+            eval_df, _ = _load_labeled(args.eval_path, "Eval")
+        else:
+            print(
+                f"[INFO] No eval_path provided, splitting "
+                f"{args.val_size*100:.0f}% from train data for validation"
+            )
+            train_df, eval_df = train_test_split(
+                train_df, test_size=args.val_size, random_state=args.seed,
+                stratify=train_df[target] if args.stratify else None,
+            )
+            print(
+                f"[DEBUG] After split - Train: {len(train_df)}, "
+                f"Eval: {len(eval_df)}"
+            )
 
-    test_df = None
-    if args.test_path:
-        print(f"[INFO] Loading test data from: {args.test_path}")
-        test_df = read_criteo_test(args.test_path, sparse_features, dense_features)
+        test_df = None
+        if args.test_path:
+            print(f"[INFO] Loading test data from: {args.test_path}")
+            test_df = read_criteo_test(
+                args.test_path, sparse_features, dense_features
+            )
 
-    # fit encoders on train+eval combined (xdftrain.py:372-383)
-    all_labeled_df = pd.concat([train_df, eval_df], axis=0, ignore_index=True)
-    all_labeled_df, encoders, scaler = prepare_features(
-        all_labeled_df, sparse_features, dense_features, fit_df=all_labeled_df
-    )
-    train_dfp = all_labeled_df.iloc[: len(train_df)].copy()
-    eval_dfp = all_labeled_df.iloc[len(train_df) :].copy()
-    test_dfp = None
-    if test_df is not None:
-        test_dfp, _, _ = prepare_features(
-            test_df, sparse_features, dense_features, encoders=encoders,
-            scaler=scaler,
+        # fit encoders on train+eval combined (xdftrain.py:372-383)
+        all_labeled_df = pd.concat([train_df, eval_df], axis=0, ignore_index=True)
+        all_labeled_df, encoders, scaler = prepare_features(
+            all_labeled_df, sparse_features, dense_features, fit_df=all_labeled_df
         )
+        train_dfp = all_labeled_df.iloc[: len(train_df)].copy()
+        eval_dfp = all_labeled_df.iloc[len(train_df) :].copy()
+        if test_df is not None:
+            test_dfp, _, _ = prepare_features(
+                test_df, sparse_features, dense_features, encoders=encoders,
+                scaler=scaler,
+            )
 
-    linear_cols, dnn_cols, feature_names = build_feature_columns(
-        all_labeled_df, sparse_features, dense_features,
-        embedding_dim=args.embedding_dim,
-    )
-    train_x = build_model_input(train_dfp, feature_names)
-    eval_x = build_model_input(eval_dfp, feature_names)
-    y_train = train_dfp[[target]].values
-    y_eval = eval_dfp[[target]].values
+        linear_cols, dnn_cols, feature_names = build_feature_columns(
+            all_labeled_df, sparse_features, dense_features,
+            embedding_dim=args.embedding_dim,
+        )
+        train_x = build_model_input(train_dfp, feature_names)
+        eval_x = build_model_input(eval_dfp, feature_names)
+        y_train = train_dfp[[target]].values
+        y_eval = eval_dfp[[target]].values
+        if test_df is not None:
+            test_x = build_model_input(test_dfp, feature_names)
+            n_test = len(test_dfp)
+        preprocess_payload = {
+            "encoders": encoders,
+            "scaler": scaler,
+            "sparse_features": sparse_features,
+            "dense_features": dense_features,
+            "feature_names": feature_names,
+        }
 
     model = build_model(args, linear_cols, dnn_cols)
 
@@ -196,12 +301,9 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         f"({training_time/60:.2f} minutes)"
     )
 
-    if test_dfp is not None:
-        print(f"\n[INFO] Running inference on test data ({len(test_dfp)} samples)...")
-        test_pred = model.predict(
-            build_model_input(test_dfp, feature_names),
-            batch_size=args.pred_batch_size,
-        )
+    if test_x is not None:
+        print(f"\n[INFO] Running inference on test data ({n_test} samples)...")
+        test_pred = model.predict(test_x, batch_size=args.pred_batch_size)
         test_pred_path = os.path.join(args.out_dir, "test_predictions.csv")
         pd.DataFrame({"predicted_ctr": test_pred.flatten()}).to_csv(
             test_pred_path, index=False
@@ -215,16 +317,10 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
     writer.close()
 
     with open(os.path.join(args.out_dir, "preprocess.pkl"), "wb") as f:
-        pickle.dump(
-            {
-                "encoders": encoders,
-                "scaler": scaler,
-                "sparse_features": sparse_features,
-                "dense_features": dense_features,
-                "feature_names": feature_names,
-            },
-            f,
-        )
+        pickle.dump(preprocess_payload, f)
+    if use_native:
+        # the native encoder vocab serializes separately (binary hash->id maps)
+        parser.save_vocab(os.path.join(args.out_dir, "native_vocab.bin"))
     model.save_weights(os.path.join(args.out_dir, f"{model_name}_weights.bin"))
     with open(os.path.join(args.out_dir, "history.json"), "w") as f:
         json.dump(history.history, f, ensure_ascii=False, indent=2)
@@ -237,9 +333,9 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
             "train_path": args.data_path,
             "eval_path": args.eval_path,
             "test_path": args.test_path,
-            "train_samples": len(train_dfp),
-            "eval_samples": len(eval_dfp),
-            "test_samples": len(test_dfp) if test_dfp is not None else 0,
+            "train_samples": len(y_train),
+            "eval_samples": len(y_eval),
+            "test_samples": n_test,
             "train_positive_ratio": train_pos_ratio,
         },
         "model_config": dict(

@@ -1,0 +1,32 @@
+"""v1-compat trainer (reference: ``xdftrain_v1.py``).
+
+The reference's earlier revision differs from ``xdftrain.py`` by defaulting to
+adagrad (``xdftrain_v1.py``) and doing an in-file 3-way train/val/test split
+(``xdftrain_v1.py:322-330``) instead of external eval/test files.
+"""
+
+from __future__ import annotations
+
+from .common import base_arg_parser, run_eval, run_final
+from .xdftrain import build_model
+
+
+def parse_args(argv=None):
+    p = base_arg_parser()
+    p.set_defaults(optimizer="adagrad")
+    p.add_argument(
+        "--test_size", type=float, default=0.1,
+        help="in-file test split fraction (3-way split mode)",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.mode == "eval":
+        return run_eval(args, build_model, model_name="xdeepfm_v1")
+    return run_final(args, build_model, model_name="xdeepfm_v1")
+
+
+if __name__ == "__main__":
+    main()

@@ -468,8 +468,9 @@ class OutterProductLayer(nn.Module):
             kernel = self.param(
                 "kernel", nn.initializers.glorot_uniform(), (E, num_pairs, E)
             )
-            # sum_e' ( sum_e p[b,p,e] * k[e,p,e'] ) * q[b,p,e']
-            kp = jnp.einsum("bpe,epf,bpf->bp", p, kernel, q)
+            # torch (interaction.py:630-660): tmp[b,e1,p] = sum_e2 p[b,p,e2] *
+            # k[e1,p,e2]; out[b,p] = sum_e1 tmp[b,e1,p] * q[b,p,e1]
+            kp = jnp.einsum("bpe,fpe,bpf->bp", p, kernel, q)
         elif self.kernel_type == "vec":
             kernel = self.param(
                 "kernel", nn.initializers.glorot_uniform(), (num_pairs, E)
