@@ -49,9 +49,12 @@ class SparseFeat:
                 self, "embedding_dim", 6 * int(pow(self.vocabulary_size, 0.25))
             )
         if self.use_hash:
-            # Parity with the torch reference: hashing-on-the-fly not supported
-            # (inputs.py:31-33). IDs must be pre-encoded.
-            pass
+            # Parity with the torch reference (inputs.py:31-33): hashing on
+            # the fly is not supported; ids must be pre-encoded.
+            print(
+                "Notice! Feature Hashing on the fly currently is not "
+                "supported in torch version,you can use tensorflow version!"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
