@@ -1,0 +1,130 @@
+"""Metric implementations vs sklearn; scaler/split/reader unit tests; engine
+loss/optimizer variants."""
+
+import numpy as np
+import pytest
+
+from xdeepfm_tpu import metrics as M
+
+
+def test_auc_matches_sklearn_with_ties(rng):
+    from sklearn.metrics import roc_auc_score as sk_auc
+
+    y = rng.integers(0, 2, 500)
+    # quantized scores -> heavy ties
+    s = np.round(rng.uniform(0, 1, 500), 2)
+    np.testing.assert_allclose(M.roc_auc_score(y, s), sk_auc(y, s), rtol=1e-12)
+
+
+def test_logloss_matches_sklearn(rng):
+    from sklearn.metrics import log_loss as sk_ll
+
+    y = rng.integers(0, 2, 300)
+    p = rng.uniform(0.01, 0.99, 300)
+    np.testing.assert_allclose(M.log_loss(y, p), sk_ll(y, p), rtol=1e-9)
+
+
+def test_device_auc_matches_exact(rng):
+    import jax.numpy as jnp
+
+    y = rng.integers(0, 2, 256).astype(np.float32)
+    s = np.round(rng.uniform(0, 1, 256), 2).astype(np.float32)
+    # pad 32 masked rows
+    yp = np.concatenate([y, np.zeros(32, np.float32)])
+    sp = np.concatenate([s, rng.uniform(0, 1, 32).astype(np.float32)])
+    mask = np.concatenate([np.ones(256, np.float32), np.zeros(32, np.float32)])
+    got = float(
+        M.batch_auc(jnp.asarray(yp), jnp.asarray(sp), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got, M.roc_auc_score(y, s), rtol=1e-6)
+
+
+def test_minmax_scaler_matches_sklearn(rng):
+    from sklearn.preprocessing import MinMaxScaler as SK
+
+    from xdeepfm_tpu.data import MinMaxScaler
+
+    X = rng.normal(size=(50, 4)).astype(np.float32)
+    X[:, 3] = 7.0  # zero-range column
+    ours = MinMaxScaler().fit(X)
+    theirs = SK(feature_range=(0, 1)).fit(X)
+    np.testing.assert_allclose(
+        ours.transform(X), theirs.transform(X).astype(np.float32),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_detect_sep(tmp_path):
+    from xdeepfm_tpu.data import detect_sep
+
+    p = tmp_path / "t.txt"
+    p.write_text("a,b,c\n1\t2\t3\n")
+    assert detect_sep(str(p)) == "\t"
+    p.write_text("a,b,c\n1,2,3\n")
+    assert detect_sep(str(p)) == ","
+
+
+def test_train_test_split_stratify(rng):
+    import pandas as pd
+
+    from xdeepfm_tpu.data import train_test_split
+
+    df = pd.DataFrame({"label": rng.integers(0, 2, 1000), "x": rng.normal(size=1000)})
+    tr, te = train_test_split(df, 0.2, 0, stratify=df["label"])
+    assert abs(len(te) - 200) <= 2
+    np.testing.assert_allclose(
+        te["label"].mean(), df["label"].mean(), atol=0.02
+    )
+
+
+@pytest.mark.parametrize("opt", ["sgd", "adagrad", "rmsprop"])
+def test_engine_optimizers(opt):
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+    from xdeepfm_tpu.models import WDL
+
+    rng = np.random.default_rng(0)
+    n = 200
+    x = {"C0": rng.integers(0, 10, n), "I0": rng.uniform(0, 1, n).astype(np.float32)}
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat("C0", 10, 4), DenseFeat("I0")]
+    m = WDL(cols, cols, dnn_hidden_units=(8,))
+    m.compile(opt, "binary_crossentropy", metrics=[])
+    h = m.fit(x, y, batch_size=64, epochs=2, verbose=0)
+    assert h.history["loss"][-1] < h.history["loss"][0]
+
+
+def test_engine_regression_mse():
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+    from xdeepfm_tpu.models import WDL
+
+    rng = np.random.default_rng(0)
+    n = 300
+    x = {"C0": rng.integers(0, 10, n), "I0": rng.uniform(0, 1, n).astype(np.float32)}
+    y = (x["I0"] * 2.0).astype(np.float32)
+    cols = [SparseFeat("C0", 10, 4), DenseFeat("I0")]
+    m = WDL(cols, cols, dnn_hidden_units=(8,), task="regression")
+    m.compile("adam", "mse", metrics=["mse"], lr=0.05)
+    h = m.fit(x, y, batch_size=64, epochs=8, verbose=2)
+    assert h.history["mse"][-1] < h.history["mse"][0]
+    res = m.evaluate(x, y, 128)
+    assert res["mse"] < 0.2
+
+
+def test_validation_data_tuple3():
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+    from xdeepfm_tpu.models import WDL
+
+    rng = np.random.default_rng(0)
+    n = 200
+    x = {"C0": rng.integers(0, 10, n), "I0": rng.uniform(0, 1, n).astype(np.float32)}
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat("C0", 10, 4), DenseFeat("I0")]
+    m = WDL(cols, cols, dnn_hidden_units=(8,))
+    m.compile("adam", "binary_crossentropy", metrics=["auc"])
+    h = m.fit(
+        x, y, batch_size=64, epochs=1, verbose=0,
+        validation_data=(x, y, None),
+    )
+    assert "val_auc" in h.history
+    with pytest.raises(ValueError):
+        m.fit(x, y, epochs=1, verbose=0, validation_data=(x,))

@@ -71,6 +71,11 @@ def base_arg_parser() -> argparse.ArgumentParser:
         help="use the C++ criteo parser/encoder (native/criteo_parser.cpp) "
         "for single-pass IO instead of pandas",
     )
+    p.add_argument(
+        "--steps_per_dispatch", type=int, default=8,
+        help="train steps fused into one XLA dispatch (lax.scan); "
+        "bit-identical to 1, amortizes host/link latency",
+    )
     return p
 
 
@@ -285,6 +290,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         train_x, y_train, batch_size=args.batch_size, epochs=args.epochs,
         verbose=args.verbose, validation_data=(eval_x, y_eval), shuffle=True,
         callbacks=callbacks,
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
     )
 
     if os.path.exists(ckpt_path):
@@ -405,6 +411,7 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
         x_full, y_full, batch_size=args.batch_size, epochs=args.epochs,
         verbose=args.verbose, validation_split=0.0, shuffle=True,
         callbacks=callbacks,
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
     )
     training_time = time.time() - start_time
     print(
