@@ -34,12 +34,18 @@ def set_cin_backend(name: str) -> None:
 
 
 def _resolve_auto() -> str:
-    # pallas on TPU (measured 3.1x fwd / 7.2x fwd+bwd vs the XLA einsum on
-    # v5e, see bench); XLA elsewhere (pallas interpret is for tests only).
+    # pallas on single-chip TPU (measured 3.1x fwd / 7.2x fwd+bwd vs the XLA
+    # einsum on v5e, see bench); XLA elsewhere — pallas_call is not GSPMD-
+    # partitionable, so multi-device meshes use the XLA lowering until the
+    # shard_map-wrapped kernel lands.  Override with set_cin_backend().
     import jax
 
     try:
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return (
+            "pallas"
+            if jax.default_backend() == "tpu" and len(jax.devices()) == 1
+            else "xla"
+        )
     except Exception:
         return "xla"
 
