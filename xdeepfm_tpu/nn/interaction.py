@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.cin import cin_layer_contract
+from ..ops.cin import cin_layer_contract, cin_rows_contract
 from .activations import apply_activation, make_activation
 from .core import torch_bias_init, torch_linear_init
 from .sequence import KMaxPooling
@@ -164,28 +164,36 @@ def make_cin_params(module, field_size, layer_size, split_half):
     return kernels, biases
 
 
-def cin_feature_maps(
+def cin_feature_maps_rows(
     inputs, kernels, biases, act, layer_size, split_half, training=False
 ):
-    """Run the CIN cross layers, returning the concatenated direct-connect
-    feature maps [B, featuremap_num, E] (reference ``interaction.py:207-245``
-    before the final sum-pool)."""
+    """Run the CIN cross layers in row-major (b, d) form, returning the
+    concatenated direct-connect feature maps as rows [B*D, featuremap_num]
+    (reference ``interaction.py:207-245`` before the final sum-pool).
+
+    The whole stack stays in row layout — one transpose in, one out — so the
+    embedding axis never relayouts between layers.  CIN activations are
+    stateless (the reference can't construct Dice here either), so applying
+    them on rows is exact.
+    """
     if inputs.ndim != 3:
         raise ValueError(
             "Unexpected inputs dimensions %d, expect to be 3 dimensions"
             % inputs.ndim
         )
-    hidden = inputs
+    B, m, D = inputs.shape
+    x0_rows = inputs.transpose(0, 2, 1).reshape(B * D, m)
+    hidden = x0_rows
     final_result = []
     for i, size in enumerate(layer_size):
-        x = cin_layer_contract(hidden, inputs, kernels[i], biases[i])
+        x = cin_rows_contract(hidden, x0_rows, kernels[i], biases[i])
         curr_out = apply_activation(act, x, training=training)
         if split_half:
             if i != len(layer_size) - 1:
                 # torch.split order (interaction.py:233-234): first half feeds
                 # the next layer, second half direct-connects to the output.
-                next_hidden = curr_out[:, : size // 2, :]
-                direct_connect = curr_out[:, size // 2 :, :]
+                next_hidden = curr_out[:, : size // 2]
+                direct_connect = curr_out[:, size // 2 :]
             else:
                 direct_connect = curr_out
                 next_hidden = None
@@ -194,7 +202,18 @@ def cin_feature_maps(
             next_hidden = curr_out
         final_result.append(direct_connect)
         hidden = next_hidden
-    return jnp.concatenate(final_result, axis=1)
+    return jnp.concatenate(final_result, axis=1)  # [B*D, Fm]
+
+
+def cin_feature_maps(
+    inputs, kernels, biases, act, layer_size, split_half, training=False
+):
+    """[B, featuremap_num, E] feature maps (used by the attention variants)."""
+    B, m, D = inputs.shape
+    rows = cin_feature_maps_rows(
+        inputs, kernels, biases, act, layer_size, split_half, training
+    )
+    return rows.reshape(B, D, -1).transpose(0, 2, 1)
 
 
 def cin_featuremap_num(layer_size, split_half):
@@ -233,7 +252,8 @@ class CIN(nn.Module):
         self.act = make_activation(self.activation, name="act")
 
     def __call__(self, inputs, training: bool = False):
-        maps = cin_feature_maps(
+        B = inputs.shape[0]
+        rows = cin_feature_maps_rows(
             inputs,
             self.kernels,
             self.biases,
@@ -241,8 +261,9 @@ class CIN(nn.Module):
             self.layer_size,
             self.split_half,
             training=training,
-        )
-        return jnp.sum(maps, axis=-1)
+        )  # [B*D, Fm]
+        # sum over the embedding axis == sum the D rows of each example
+        return jnp.sum(rows.reshape(B, inputs.shape[2], -1), axis=1)
 
 
 class AFMLayer(nn.Module):

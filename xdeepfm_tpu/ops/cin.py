@@ -77,6 +77,29 @@ def _cin_fused(h, x0, W, b):
     return out + b[None, :, None]
 
 
+def cin_rows_contract(h_rows, x0_rows, W, b, backend: str | None = None):
+    """Row-major CIN layer: rows are (b, d) slices.
+
+    h_rows [N, H], x0_rows [N, M], W [O, H*M], b [O] -> [N, O].  Keeping the
+    CIN stack in row form between layers avoids per-layer [B,F,D] <-> [N,F]
+    relayouts (the embedding axis D is tiny, so the row count N = B*D).
+    """
+    be = backend or _CIN_BACKEND
+    if be == "auto":
+        be = _resolve_auto()
+    if be == "pallas":
+        from .cin_pallas import cin_pallas_rows
+
+        return cin_pallas_rows(h_rows, x0_rows, W, b)
+    # XLA lowering: z[n, h*M+m] = h[n,h] * x0[n,m]; out = z @ W^T + b
+    H = h_rows.shape[1]
+    M = x0_rows.shape[1]
+    z = (h_rows[:, :, None] * x0_rows[:, None, :]).reshape(
+        h_rows.shape[0], H * M
+    )
+    return z @ W.T + b[None, :]
+
+
 def cin_layer_contract(h, x0, W, b, backend: str | None = None):
     """One CIN layer: ``einsum('bhd,bmd,ohm->bod') + bias``.
 

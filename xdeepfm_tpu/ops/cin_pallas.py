@@ -151,63 +151,72 @@ def _row_tile(n_rows):
     return 256 if n_rows >= 256 else _round_up(n_rows, 8)
 
 
-def _forward_rows(a, c, Wr, bias):
-    """a: [B, F1, D]; c: [B, F2, D]; Wr: [F2, F1, O] -> [B, O, D]."""
-    B, F1, D = a.shape
-    R = _row_tile(B * D)
-    a_r = _pad_rows(_to_rows(a), R).astype(jnp.float32)
-    c_r = _pad_rows(_to_rows(c), R).astype(jnp.float32)
-    out_r = _fused_contract(
-        a_r, c_r, Wr.astype(jnp.float32), bias.astype(jnp.float32),
-        R=R, interpret=_INTERPRET,
-    )
-    return _from_rows(out_r[: B * D], B, D)
-
-
-@jax.custom_vjp
-def cin_pallas(h, x0, W, b):
-    """Drop-in for ``cin_layer_contract``: h [B,H,D], x0 [B,M,D],
-    W [O, H*M] (channel = h*M + m), b [O] -> [B, O, D]."""
-    out, _ = _cin_pallas_fwd(h, x0, W, b)
-    return out
-
-
 def _w_forward_layout(W, H, M):
     O = W.shape[0]
     return W.reshape(O, H, M).transpose(2, 1, 0)  # [M, H, O]
 
 
-def _cin_pallas_fwd(h, x0, W, b):
-    B, H, D = h.shape
-    M = x0.shape[1]
-    out = _forward_rows(h, x0, _w_forward_layout(W, H, M), b)
-    return out, (h, x0, W)
+def _forward_rows_flat(a_r, c_r, Wr, bias):
+    """a_r: [N, F1]; c_r: [N, F2]; Wr: [F2, F1, O] -> [N, O] (N padded
+    internally)."""
+    N = a_r.shape[0]
+    R = _row_tile(N)
+    a_p = _pad_rows(a_r, R).astype(jnp.float32)
+    c_p = _pad_rows(c_r, R).astype(jnp.float32)
+    out = _fused_contract(
+        a_p, c_p, Wr.astype(jnp.float32), bias.astype(jnp.float32),
+        R=R, interpret=_INTERPRET,
+    )
+    return out[:N]
 
 
-def _cin_pallas_bwd(res, g):
-    h, x0, W = res
-    B, H, D = h.shape
-    M = x0.shape[1]
+@jax.custom_vjp
+def cin_pallas_rows(h_rows, x0_rows, W, b):
+    """Row-major CIN layer: h_rows [N, H], x0_rows [N, M] (rows are (b, d)
+    slices), W [O, H*M] (channel = h*M + m), b [O] -> [N, O].
+
+    Keeping the whole CIN stack in row form avoids the [B,F,D]<->[N,F]
+    relayouts between layers."""
+    out, _ = _cin_rows_fwd(h_rows, x0_rows, W, b)
+    return out
+
+
+def _cin_rows_fwd(h_rows, x0_rows, W, b):
+    H = h_rows.shape[1]
+    M = x0_rows.shape[1]
+    out = _forward_rows_flat(h_rows, x0_rows, _w_forward_layout(W, H, M), b)
+    return out, (h_rows, x0_rows, W)
+
+
+def _cin_rows_bwd(res, g):
+    h_rows, x0_rows, W = res
+    H = h_rows.shape[1]
+    M = x0_rows.shape[1]
     O = W.shape[0]
     W3 = W.reshape(O, H, M)
-    zeros = jnp.zeros((), W.dtype)
-    # dxk[b,h,d] = sum_{o,m} W3[o,h,m] g[b,o,d] x0[b,m,d]
-    dxk = _forward_rows(
-        g, x0, W3.transpose(2, 0, 1), jnp.zeros((H,), W.dtype)
+    dxk = _forward_rows_flat(
+        g, x0_rows, W3.transpose(2, 0, 1), jnp.zeros((H,), W.dtype)
     )
-    # dx0[b,m,d] = sum_{o,h} W3[o,h,m] g[b,o,d] xk[b,h,d]
-    dx0 = _forward_rows(
-        g, h, W3.transpose(1, 0, 2), jnp.zeros((M,), W.dtype)
+    dx0 = _forward_rows_flat(
+        g, h_rows, W3.transpose(1, 0, 2), jnp.zeros((M,), W.dtype)
     )
-    # dW3[o,h,m] = sum_{b,d} g[b,o,d] xk[b,h,d] x0[b,m,d]
-    R = _row_tile(B * D)
-    g_r = _pad_rows(_to_rows(g), R).astype(jnp.float32)
-    a_r = _pad_rows(_to_rows(h), R).astype(jnp.float32)
-    c_r = _pad_rows(_to_rows(x0), R).astype(jnp.float32)
+    N = h_rows.shape[0]
+    R = _row_tile(N)
+    g_r = _pad_rows(g, R).astype(jnp.float32)
+    a_r = _pad_rows(h_rows, R).astype(jnp.float32)
+    c_r = _pad_rows(x0_rows, R).astype(jnp.float32)
     dW_moh = _dw_contract(g_r, a_r, c_r, R=R, interpret=_INTERPRET)  # [M,O,H]
     dW = dW_moh.transpose(1, 2, 0).reshape(O, H * M).astype(W.dtype)
-    db = jnp.sum(g, axis=(0, 2))
+    db = jnp.sum(g, axis=0)
     return dxk, dx0, dW, db
 
 
-cin_pallas.defvjp(_cin_pallas_fwd, _cin_pallas_bwd)
+cin_pallas_rows.defvjp(_cin_rows_fwd, _cin_rows_bwd)
+
+
+def cin_pallas(h, x0, W, b):
+    """Drop-in for ``cin_layer_contract``: h [B,H,D], x0 [B,M,D],
+    W [O, H*M] (channel = h*M + m), b [O] -> [B, O, D]."""
+    B, H, D = h.shape
+    out_r = cin_pallas_rows(_to_rows(h), _to_rows(x0), W, b)
+    return _from_rows(out_r, B, D)
