@@ -32,7 +32,7 @@ from .features import (
     VarLenSparseFeat,
     split_columns,
 )
-from .nn.sequence import SequencePoolingLayer
+from .nn.sequence import sequence_pool
 
 
 def _table_layout(feature_columns, linear: bool):
@@ -104,13 +104,13 @@ class EmbeddingCollection(nn.Module):
         ids = batch["vl_" + feat.name]
         if feat.length_name is None:
             mask = ids != 0
-            return SequencePoolingLayer(mode=feat.combiner, supports_masking=True)(
-                (seq_emb, mask)
+            return sequence_pool(
+                (seq_emb, mask), mode=feat.combiner, supports_masking=True
             )
         else:
             length = batch["len_" + feat.length_name]
-            return SequencePoolingLayer(mode=feat.combiner, supports_masking=False)(
-                (seq_emb, length)
+            return sequence_pool(
+                (seq_emb, length), mode=feat.combiner, supports_masking=False
             )
 
     # ---- batched lookups ---------------------------------------------------

@@ -24,38 +24,46 @@ def sequence_mask(lengths, maxlen: int):
     return row < lengths.reshape(-1, 1)
 
 
-class SequencePoolingLayer(nn.Module):
-    """Masked sum/mean/max pooling over varlen sequences
+def sequence_pool(seq_value_len_list, mode="mean", supports_masking=False):
+    """Masked sum/mean/max pooling over varlen sequences — pure function
     (reference: ``sequence.py:9-77``).
 
-    Call with ``(seq_emb [B,T,E], mask [B,T] bool)`` when supports_masking else
-    ``(seq_emb, length [B,1])``.  Returns [B, 1, E].
+    Call with ``(seq_emb [B,T,E], mask [B,T] bool)`` when supports_masking
+    else ``(seq_emb, length [B,1])``.  Returns [B, 1, E].
     """
+    if mode not in ["sum", "mean", "max"]:
+        raise ValueError("parameter mode should in [sum, mean, max]")
+    if supports_masking:
+        seq_emb, mask = seq_value_len_list
+        mask = mask.astype(jnp.float32)  # [B, T]
+        user_behavior_length = jnp.sum(mask, axis=-1, keepdims=True)
+        mask = mask[:, :, None]
+    else:
+        seq_emb, user_behavior_length = seq_value_len_list
+        mask = sequence_mask(user_behavior_length, seq_emb.shape[1])
+        mask = mask.astype(jnp.float32)[:, :, None]
+
+    if mode == "max":
+        hist = seq_emb - (1 - mask) * 1e9
+        return jnp.max(hist, axis=1, keepdims=True)
+    hist = jnp.sum(seq_emb * mask, axis=1, keepdims=False)
+    if mode == "mean":
+        hist = hist / (user_behavior_length.astype(jnp.float32) + 1e-8)
+    return hist[:, None, :]
+
+
+class SequencePoolingLayer(nn.Module):
+    """Module wrapper around :func:`sequence_pool` (keeps the reference's
+    layer-style API)."""
 
     mode: str = "mean"
     supports_masking: bool = False
 
     @nn.compact
     def __call__(self, seq_value_len_list):
-        if self.mode not in ["sum", "mean", "max"]:
-            raise ValueError("parameter mode should in [sum, mean, max]")
-        if self.supports_masking:
-            seq_emb, mask = seq_value_len_list
-            mask = mask.astype(jnp.float32)  # [B, T]
-            user_behavior_length = jnp.sum(mask, axis=-1, keepdims=True)
-            mask = mask[:, :, None]
-        else:
-            seq_emb, user_behavior_length = seq_value_len_list
-            mask = sequence_mask(user_behavior_length, seq_emb.shape[1])
-            mask = mask.astype(jnp.float32)[:, :, None]
-
-        if self.mode == "max":
-            hist = seq_emb - (1 - mask) * 1e9
-            return jnp.max(hist, axis=1, keepdims=True)
-        hist = jnp.sum(seq_emb * mask, axis=1, keepdims=False)
-        if self.mode == "mean":
-            hist = hist / (user_behavior_length.astype(jnp.float32) + 1e-8)
-        return hist[:, None, :]
+        return sequence_pool(
+            seq_value_len_list, self.mode, self.supports_masking
+        )
 
 
 class AttentionSequencePoolingLayer(nn.Module):

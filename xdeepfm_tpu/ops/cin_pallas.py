@@ -139,12 +139,25 @@ def _pad_rows(x, R):
 
 
 _INTERPRET = False
+_PRECISION = "f32"
 
 
 def set_interpret(flag: bool):
     """Interpreter mode for CPU testing."""
     global _INTERPRET
     _INTERPRET = flag
+
+
+def set_cin_precision(p: str):
+    """'f32' (default) or 'bf16' — bf16 inputs with f32 accumulation doubles
+    MXU rate at CTR-insignificant precision cost."""
+    global _PRECISION
+    assert p in ("f32", "bf16")
+    _PRECISION = p
+
+
+def _compute_dtype():
+    return jnp.bfloat16 if _PRECISION == "bf16" else jnp.float32
 
 
 def _row_tile(n_rows):
@@ -161,10 +174,11 @@ def _forward_rows_flat(a_r, c_r, Wr, bias):
     internally)."""
     N = a_r.shape[0]
     R = _row_tile(N)
-    a_p = _pad_rows(a_r, R).astype(jnp.float32)
-    c_p = _pad_rows(c_r, R).astype(jnp.float32)
+    ct = _compute_dtype()
+    a_p = _pad_rows(a_r, R).astype(ct)
+    c_p = _pad_rows(c_r, R).astype(ct)
     out = _fused_contract(
-        a_p, c_p, Wr.astype(jnp.float32), bias.astype(jnp.float32),
+        a_p, c_p, Wr.astype(ct), bias.astype(jnp.float32),
         R=R, interpret=_INTERPRET,
     )
     return out[:N]
