@@ -118,6 +118,7 @@ class BaseModel:
         self.metrics_names = ["loss"]
         self._compiled = None
         self.module = None
+        self._lazy_tables = {}
 
     def _finalize(self):
         """Build the flax module + initialize variables.  Called at the end of
@@ -170,35 +171,139 @@ class BaseModel:
             pattern = (pattern,)
         self.regularization_weight.append((tuple(pattern), l1, l2))
 
-    def _regularization_loss(self, params):
+    def _regularization_loss(self, params, lazy_paths=()):
         """sum(l1*|w|) + sum(l2*w^2) over matched params
-        (``basemodel.py:412-428``)."""
+        (``basemodel.py:412-428``).
+
+        Params whose path is in ``lazy_paths`` contribute their VALUE to the
+        loss but are stop-gradiented — their regularization gradient is applied
+        row-sparsely by the lazy embedding optimizer instead of as a dense
+        full-table gradient."""
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         total = jnp.zeros(())
         for pattern, l1, l2 in self.regularization_weight:
             for path, w in flat:
                 p = _path_str(path)
                 if all(s in p for s in pattern):
+                    if p in lazy_paths:
+                        w = jax.lax.stop_gradient(w)
                     if l1 > 0:
                         total = total + jnp.sum(l1 * jnp.abs(w))
                     if l2 > 0:
                         total = total + jnp.sum(l2 * jnp.square(w))
         return total
 
+    def _reg_coeffs_for(self, path_str):
+        l1t = l2t = 0.0
+        for pattern, l1, l2 in self.regularization_weight:
+            if all(s in path_str for s in pattern):
+                l1t += l1
+                l2t += l2
+        return l1t, l2t
+
     # ------------------------------------------------------------- compile
 
-    def compile(self, optimizer, loss=None, metrics=None, lr=None):
+    def compile(self, optimizer, loss=None, metrics=None, lr=None,
+                embedding_optimizer="dense"):
         """String (or optax GradientTransformation) optimizer, string loss
-        name(s), metric-name list (``basemodel.py:433-445``)."""
+        name(s), metric-name list (``basemodel.py:433-445``).
+
+        embedding_optimizer='lazy' switches the stacked embedding tables to a
+        row-sparse (lazy) optimizer update — only touched rows get moment and
+        weight updates, and their L2 reg gradient applies lazily too.  Requires
+        a string optimizer in {'adam', 'adagrad'}.  Default 'dense' matches the
+        reference exactly.
+        """
         self.metrics_names = ["loss"]
-        self.optimizer = _get_optimizer(optimizer, lr)
         if isinstance(loss, list):
             self.loss_names = list(loss)
         else:
             self.loss_names = loss
         self.metrics = self._get_metrics(metrics)
-        self.opt_state = self.optimizer.init(self.params)
+
+        self._lazy_tables = {}
+        if embedding_optimizer == "lazy":
+            from .optimizers import LAZY_OPTIMIZERS
+
+            if not (isinstance(optimizer, str) and optimizer in LAZY_OPTIMIZERS):
+                raise ValueError(
+                    "embedding_optimizer='lazy' requires optimizer in "
+                    f"{sorted(LAZY_OPTIMIZERS)}"
+                )
+            self._lazy_tables = self._build_lazy_specs()
+            self._lazy_kind = optimizer
+            self._lazy_lr = lr if lr is not None else (
+                LAZY_OPTIMIZERS[optimizer][2]["lr"]
+            )
+            base = _get_optimizer(optimizer, lr)
+            if self._lazy_tables:
+                import optax as _optax
+
+                lazy_paths = set(self._lazy_tables)
+
+                def label(path, leaf):
+                    return (
+                        "lazy" if _path_str(path) in lazy_paths else "dense"
+                    )
+
+                labels = jax.tree_util.tree_map_with_path(label, self.params)
+                self.optimizer = _optax.multi_transform(
+                    {"dense": base, "lazy": _optax.set_to_zero()}, labels
+                )
+            else:
+                self.optimizer = base
+        else:
+            self.optimizer = _get_optimizer(optimizer, lr)
+        self._init_opt_state()
         self._build_steps()
+
+    def _build_lazy_specs(self):
+        """{table_param_path: (entries, l1, l2, lazy_init_state)} for tables
+        whose touched rows the engine can enumerate from the batch (standard
+        embedding_dict / linear_model layout)."""
+        from .embeddings import table_touched_spec
+
+        flat = {
+            _path_str(p): w
+            for p, w in jax.tree_util.tree_flatten_with_path(self.params)[0]
+        }
+        specs = {}
+        for prefix, cols, linear in (
+            ("embedding_dict", self.dnn_feature_columns, False),
+            (
+                "linear_model/embedding_dict",
+                self.linear_feature_columns,
+                True,
+            ),
+        ):
+            try:
+                spec = table_touched_spec(cols, self.schema, linear)
+            except KeyError:
+                continue
+            for dim, entries in spec.items():
+                path = f"{prefix}/table_d{dim}"
+                if path in flat:
+                    l1, l2 = self._reg_coeffs_for(path)
+                    specs[path] = (tuple(entries), l1, l2)
+        return specs
+
+    def _init_opt_state(self):
+        if self._lazy_tables:
+            from .optimizers import LAZY_OPTIMIZERS
+
+            lazy_init = LAZY_OPTIMIZERS[self._lazy_kind][0]
+            flat = {
+                _path_str(p): w
+                for p, w in jax.tree_util.tree_flatten_with_path(self.params)[0]
+            }
+            self.opt_state = {
+                "optax": self.optimizer.init(self.params),
+                "lazy": {
+                    path: lazy_init(flat[path]) for path in self._lazy_tables
+                },
+            }
+        else:
+            self.opt_state = self.optimizer.init(self.params)
 
     def _get_metrics(self, metrics):
         metrics_ = {}
@@ -214,9 +319,32 @@ class BaseModel:
         module = self.module
         loss_names = self.loss_names
         metric_names = list(self.metrics.keys())
-        reg_fn = self._regularization_loss
+        lazy_specs = dict(self._lazy_tables)
+        reg_fn = lambda p: self._regularization_loss(
+            p, lazy_paths=frozenset(lazy_specs)
+        )
         optimizer = self.optimizer
         num_tasks = self.num_tasks
+        if lazy_specs:
+            from .embeddings import touched_ids
+            from .optimizers import LAZY_OPTIMIZERS
+
+            _, lazy_row_update, _ = LAZY_OPTIMIZERS[self._lazy_kind]
+            lazy_lr = self._lazy_lr
+
+        def _tree_get(tree, path):
+            for seg in path.split("/"):
+                tree = tree[seg]
+            return tree
+
+        def _tree_set(tree, path, val):
+            segs = path.split("/")
+            if len(segs) == 1:
+                return {**tree, segs[0]: val}
+            return {
+                **tree,
+                segs[0]: _tree_set(tree[segs[0]], "/".join(segs[1:]), val),
+            }
 
         def apply_train(params, batch_stats, batch, rng):
             variables = {"params": params}
@@ -266,8 +394,34 @@ class BaseModel:
             (total, (loss, out, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
-            updates, new_opt_state = optimizer.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            if lazy_specs:
+                updates, new_optax_state = optimizer.update(
+                    grads, opt_state["optax"], params
+                )
+                new_params = optax.apply_updates(params, updates)
+                new_lazy = {}
+                for path, (entries, l1, l2) in lazy_specs.items():
+                    g = _tree_get(grads, path)
+                    p_arr = _tree_get(new_params, path)
+                    lstate = opt_state["lazy"][path]
+                    ids = touched_ids(batch, entries)
+                    g_rows = g[ids]
+                    p_rows = p_arr[ids]
+                    if l2 > 0:
+                        g_rows = g_rows + 2.0 * l2 * p_rows
+                    if l1 > 0:
+                        g_rows = g_rows + l1 * jnp.sign(p_rows)
+                    p_new, lstate_new = lazy_row_update(
+                        p_arr, lstate, ids, g_rows, step + 1, lr=lazy_lr
+                    )
+                    new_params = _tree_set(new_params, path, p_new)
+                    new_lazy[path] = lstate_new
+                new_opt_state = {"optax": new_optax_state, "lazy": new_lazy}
+            else:
+                updates, new_opt_state = optimizer.update(
+                    grads, opt_state, params
+                )
+                new_params = optax.apply_updates(params, updates)
             mvals = {}
             pred_first = out["pred"]
             if not isinstance(loss_names, list):
@@ -320,11 +474,18 @@ class BaseModel:
             out = module.apply(variables, batch, training=False)
             return out["pred"]
 
+        def predict_step_multi(params, batch_stats, batches):
+            # K inference batches per dispatch (lax.map == scan)
+            return jax.lax.map(
+                lambda b: predict_step(params, batch_stats, b), batches
+            )
+
         self._train_step = jax.jit(step_core, donate_argnums=(0, 1, 2))
         self._train_step_multi = jax.jit(
             train_step_multi, donate_argnums=(0, 1, 2)
         )
         self._predict_step = jax.jit(predict_step)
+        self._predict_step_multi = jax.jit(predict_step_multi)
         self._compiled = True
 
     # ------------------------------------------------------------------ fit
@@ -522,26 +683,42 @@ class BaseModel:
     def predict(self, x, batch_size=256):
         return self._predict_packed(self._pack_x(x), batch_size)
 
-    def _predict_packed(self, batch, batch_size=256):
+    def _predict_packed(self, batch, batch_size=256, batches_per_dispatch=8):
         n = len(next(iter(batch.values())))
+        n_batches = (n - 1) // batch_size + 1 if n else 0
+        # pad the flat arrays once to n_batches*batch_size rows
+        n_pad = n_batches * batch_size - n
+        if n_pad:
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], n_pad, axis=0)])
+                for k, v in batch.items()
+            }
         preds = []
-        for start in range(0, n, batch_size):
-            stop = min(start + batch_size, n)
-            xb = {k: v[start:stop] for k, v in batch.items()}
-            bs = stop - start
-            if bs < batch_size:
-                # pad to the compiled shape, slice after
+        i = 0
+        while i < n_batches:
+            k_b = min(batches_per_dispatch, n_batches - i)
+            if k_b > 1:
                 xb = {
-                    k: np.concatenate(
-                        [v, np.repeat(v[-1:], batch_size - bs, axis=0)]
+                    key: jnp.asarray(
+                        v[i * batch_size : (i + k_b) * batch_size].reshape(
+                            (k_b, batch_size) + v.shape[1:]
+                        )
                     )
-                    for k, v in xb.items()
+                    for key, v in batch.items()
                 }
-            out = self._predict_step(
-                self.params, self.batch_stats, {k: jnp.asarray(v) for k, v in xb.items()}
-            )
-            preds.append(np.asarray(out)[:bs])
-        return np.concatenate(preds).astype("float64")
+                out = self._predict_step_multi(self.params, self.batch_stats, xb)
+                preds.append(np.asarray(out).reshape(k_b * batch_size, -1))
+            else:
+                xb = {
+                    key: jnp.asarray(v[i * batch_size : (i + 1) * batch_size])
+                    for key, v in batch.items()
+                }
+                out = self._predict_step(self.params, self.batch_stats, xb)
+                preds.append(np.asarray(out))
+            i += k_b
+        if not preds:
+            return np.zeros((0, 1), dtype="float64")
+        return np.concatenate(preds)[:n].astype("float64")
 
     # --------------------------------------------------------- weights I/O
 

@@ -76,6 +76,12 @@ def base_arg_parser() -> argparse.ArgumentParser:
         help="train steps fused into one XLA dispatch (lax.scan); "
         "bit-identical to 1, amortizes host/link latency",
     )
+    p.add_argument(
+        "--embedding_optimizer", type=str, default="dense",
+        choices=["dense", "lazy"],
+        help="'lazy' = row-sparse table updates (SparseAdam-style); "
+        "recommended for large vocabularies",
+    )
     return p
 
 

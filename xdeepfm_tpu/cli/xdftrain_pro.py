@@ -64,6 +64,7 @@ def build_model(args, linear_cols, dnn_cols, final_mode=False):
         loss="binary_crossentropy",
         metrics=[] if final_mode else ["binary_crossentropy", "auc"],
         lr=args.learning_rate,
+        embedding_optimizer=getattr(args, "embedding_optimizer", "dense"),
     )
     return model
 

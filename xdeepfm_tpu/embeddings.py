@@ -206,6 +206,37 @@ class EmbeddingCollection(nn.Module):
         return groups
 
 
+def table_touched_spec(feature_columns, schema: FeatureSchema, linear: bool):
+    """Static description of which batch entries index which stacked table:
+    {dim: [(kind, key, offset)]} where kind is 'sparse' (key = column index in
+    batch['sparse']) or 'varlen' (key = batch key).  Used by the engine's lazy
+    embedding optimizer to enumerate touched rows without running the model."""
+    offsets, _ = _table_layout(feature_columns, linear)
+    sp, _, vl = split_columns(feature_columns)
+    spec: Dict[int, list] = {}
+    for f in sp:
+        dim, off = offsets[f.embedding_name]
+        spec.setdefault(dim, []).append(
+            ("sparse", schema.sparse_index(f.name), off)
+        )
+    for f in vl:
+        dim, off = offsets[f.embedding_name]
+        spec.setdefault(dim, []).append(("varlen", "vl_" + f.name, off))
+    return spec
+
+
+def touched_ids(batch, entries):
+    """Flatten the touched row ids for one stacked table from a batch, given
+    the entry list from :func:`table_touched_spec`."""
+    parts = []
+    for kind, key, off in entries:
+        if kind == "sparse":
+            parts.append(batch["sparse"][:, key].reshape(-1) + off)
+        else:
+            parts.append(batch[key].reshape(-1) + off)
+    return jnp.concatenate(parts)
+
+
 def combined_dnn_input(sparse_embedding_list, dense_value_list):
     """Flatten + concat (reference ``inputs.py:126-138``)."""
     if len(sparse_embedding_list) > 0 and len(dense_value_list) > 0:

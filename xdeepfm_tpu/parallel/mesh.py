@@ -79,5 +79,5 @@ def shard_model_state(model, mesh: Mesh):
     model.batch_stats = jax.device_put(
         model.batch_stats, NamedSharding(mesh, P())
     )
-    model.opt_state = jax.jit(model.optimizer.init)(model.params)
+    model._init_opt_state()  # state inherits the sharded param layout
     return model
