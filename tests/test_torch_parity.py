@@ -192,3 +192,83 @@ def test_dice_parity(rng):
         training=False,
     )
     np.testing.assert_allclose(np.asarray(j_out), _np(t_out), rtol=1e-4, atol=1e-5)
+
+
+def test_cin_attention_parity(rng):
+    from deepctr.layers.cin_attention import CINAttention as TorchCINAttn
+
+    from xdeepfm_tpu.nn.cin_attention import CINAttention
+
+    B, m, E = 4, 6, 8
+    layer_size = (8, 6)
+    x = rng.normal(size=(B, m, E)).astype(np.float32)
+    t_layer = TorchCINAttn(
+        field_size=m, embedding_size=E, layer_size=layer_size,
+        split_half=True, num_heads=2, attn_dropout=0.0,
+        use_layer_norm=True, use_residual=True,
+    )
+    t_layer.eval()
+    t_out = t_layer(torch.from_numpy(x))
+
+    j_layer = CINAttention(
+        field_size=m, embedding_size=E, layer_size=layer_size,
+        split_half=True, num_heads=2, attn_dropout=0.0,
+        use_layer_norm=True, use_residual=True,
+    )
+    variables = j_layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = dict(variables["params"])
+    for i in range(len(layer_size)):
+        p[f"conv_w_{i}"] = jnp.asarray(_np(t_layer.conv1ds[i].weight)[:, :, 0])
+        p[f"conv_b_{i}"] = jnp.asarray(_np(t_layer.conv1ds[i].bias))
+    p["mhsa"] = {
+        "W_q": {"kernel": jnp.asarray(_np(t_layer.mhsa.W_q.weight).T)},
+        "W_k": {"kernel": jnp.asarray(_np(t_layer.mhsa.W_k.weight).T)},
+        "W_v": {"kernel": jnp.asarray(_np(t_layer.mhsa.W_v.weight).T)},
+        "W_o": {"kernel": jnp.asarray(_np(t_layer.mhsa.W_o.weight).T)},
+    }
+    p["layer_norm"] = {
+        "scale": jnp.asarray(_np(t_layer.layer_norm.weight)),
+        "bias": jnp.asarray(_np(t_layer.layer_norm.bias)),
+    }
+    p["attn_pooling"] = {
+        "fc1": {
+            "kernel": jnp.asarray(_np(t_layer.attn_pooling.attention[0].weight).T),
+            "bias": jnp.asarray(_np(t_layer.attn_pooling.attention[0].bias)),
+        },
+        "fc2": {"kernel": jnp.asarray(_np(t_layer.attn_pooling.attention[2].weight).T)},
+    }
+    p["output_proj"] = {"kernel": jnp.asarray(_np(t_layer.output_proj.weight).T)}
+    j_out = j_layer.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_out), _np(t_out), rtol=1e-4, atol=1e-5)
+
+
+def test_autodis_parity(rng):
+    from deepctr.xdeepfm_pro.autodis import AutoDisLayer as TorchAutoDis
+
+    from xdeepfm_tpu.pro.autodis import AutoDisLayer
+
+    F, K, E, B = 3, 4, 5, 6
+    x = rng.uniform(0, 1, size=(B, F)).astype(np.float32)
+    t_layer = TorchAutoDis(num_features=F, num_buckets=K, embedding_dim=E)
+    t_layer.eval()
+    t_flat, _ = t_layer([torch.from_numpy(x[:, i : i + 1]) for i in range(F)])
+
+    j_layer = AutoDisLayer(num_features=F, num_buckets=K, embedding_dim=E)
+    variables = j_layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = dict(variables["params"])
+    p["meta_embeddings"] = jnp.asarray(_np(t_layer.meta_embeddings))
+    p["feature_temperatures"] = jnp.asarray(_np(t_layer.feature_temperatures))
+    p["proj_w1"] = jnp.stack(
+        [jnp.asarray(_np(t_layer.bucket_projectors[i][0].weight).T) for i in range(F)]
+    )
+    p["proj_b1"] = jnp.stack(
+        [jnp.asarray(_np(t_layer.bucket_projectors[i][0].bias)) for i in range(F)]
+    )
+    p["proj_w2"] = jnp.stack(
+        [jnp.asarray(_np(t_layer.bucket_projectors[i][2].weight).T) for i in range(F)]
+    )
+    p["proj_b2"] = jnp.stack(
+        [jnp.asarray(_np(t_layer.bucket_projectors[i][2].bias)) for i in range(F)]
+    )
+    j_flat, _ = j_layer.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_flat), _np(t_flat), rtol=1e-4, atol=1e-5)
