@@ -131,3 +131,33 @@ def test_shard_map_embedding_mode_in_model():
     finally:
         set_embedding_mode("gspmd", None)
     np.testing.assert_allclose(pred_sharded, pred_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_shard_map_cin_on_mesh():
+    """shard_map-wrapped Pallas CIN (interpret mode) == XLA on the CPU mesh."""
+    from xdeepfm_tpu.ops import cin_pallas as cp
+    from xdeepfm_tpu.ops.cin import set_cin_backend
+    from xdeepfm_tpu.parallel.mesh import set_active_mesh
+
+    model, batch, y = _tiny_model_and_batch()
+    mesh = make_mesh(8)
+    xb = {k: jnp.asarray(v) for k, v in batch.items()}
+    pred_xla = np.asarray(
+        model._predict_step(model.params, model.batch_stats, xb)
+    )
+    try:
+        cp.set_interpret(True)
+        with mesh:
+            shard_model_state(model, mesh)
+            xb_s = shard_batch(batch, mesh)
+            set_cin_backend("pallas_sm")
+            pred_sm = np.asarray(
+                model.module.apply(
+                    {"params": model.params}, xb_s, training=False
+                )["pred"]
+            )
+    finally:
+        cp.set_interpret(False)
+        set_cin_backend("auto")
+        set_active_mesh(None)
+    np.testing.assert_allclose(pred_sm, pred_xla, rtol=1e-4, atol=1e-5)

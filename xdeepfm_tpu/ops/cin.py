@@ -29,23 +29,26 @@ _CIN_BACKEND = "auto"
 
 def set_cin_backend(name: str) -> None:
     global _CIN_BACKEND
-    assert name in ("auto", "xla", "fused", "pallas")
+    assert name in ("auto", "xla", "fused", "pallas", "pallas_sm")
     _CIN_BACKEND = name
 
 
 def _resolve_auto() -> str:
     # pallas on single-chip TPU (measured 3.1x fwd / 7.2x fwd+bwd vs the XLA
-    # einsum on v5e, see bench); XLA elsewhere — pallas_call is not GSPMD-
-    # partitionable, so multi-device meshes use the XLA lowering until the
-    # shard_map-wrapped kernel lands.  Override with set_cin_backend().
+    # einsum on v5e, see bench).  On a multi-device mesh (set via
+    # shard_model_state) the kernel wraps itself in shard_map over the data
+    # axis ('pallas_sm'); plain GSPMD jit without a registered mesh falls back
+    # to the XLA lowering (pallas_call is not GSPMD-partitionable).
     import jax
 
     try:
-        return (
-            "pallas"
-            if jax.default_backend() == "tpu" and len(jax.devices()) == 1
-            else "xla"
-        )
+        if jax.default_backend() != "tpu":
+            return "xla"
+        if len(jax.devices()) == 1:
+            return "pallas"
+        from ..parallel.mesh import get_active_mesh
+
+        return "pallas_sm" if get_active_mesh() is not None else "xla"
     except Exception:
         return "xla"
 
@@ -91,6 +94,23 @@ def cin_rows_contract(h_rows, x0_rows, W, b, backend: str | None = None):
         from .cin_pallas import cin_pallas_rows
 
         return cin_pallas_rows(h_rows, x0_rows, W, b)
+    if be == "pallas_sm":
+        # shard_map over the data axis: rows are (b, d) slices so a batch
+        # sharded over 'data' shards rows contiguously; each device runs the
+        # fused kernel on its local rows, weights replicated.
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import get_active_mesh
+        from .cin_pallas import cin_pallas_rows
+
+        mesh = get_active_mesh()
+        return jax.shard_map(
+            cin_pallas_rows,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data", None), P(None, None), P(None)),
+            out_specs=P("data", None),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
+        )(h_rows, x0_rows, W, b)
     # XLA lowering: z[n, h*M+m] = h[n,h] * x0[n,m]; out = z @ W^T + b
     H = h_rows.shape[1]
     M = x0_rows.shape[1]

@@ -23,6 +23,19 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]):
+    """Record the mesh the model state was sharded over; ops (e.g. the Pallas
+    CIN) consult this to wrap themselves in shard_map."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
 
 def make_mesh(n_devices: Optional[int] = None, embed_axis: Optional[int] = None):
     """Build a (data, embed) mesh over the first n devices.
@@ -80,4 +93,5 @@ def shard_model_state(model, mesh: Mesh):
         model.batch_stats, NamedSharding(mesh, P())
     )
     model._init_opt_state()  # state inherits the sharded param layout
+    set_active_mesh(mesh)
     return model
