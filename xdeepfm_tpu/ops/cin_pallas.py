@@ -39,16 +39,53 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+# When the weight tensor W[M, H, O] (plus its double buffer and the unrolled
+# loop temporaries) would crowd the ~16 MB VMEM scope, chunk over H — the only
+# axis that is lane-legal to block (chunks must be 128-divisible; M cannot be
+# dynamically indexed on lanes).  Partial H sums accumulate in the out block.
+_W_VMEM_BUDGET = 3 * 1024 * 1024
+
+
+def _h_chunk(H: int, M: int, O: int) -> int:
+    if M * H * O * 4 <= _W_VMEM_BUDGET:
+        return H
+    if H % 128 == 0:
+        hc = 128
+        while M * hc * O * 4 > _W_VMEM_BUDGET and hc > 128:
+            hc -= 128
+        return hc
+    return H  # not chunkable; rely on the small-W fast path
+
+
 def _fwd_kernel(a_ref, c_ref, w_ref, b_ref, out_ref, *, M):
-    # a_ref: [R, H]; c_ref: [R, M]; w_ref: [M, H, O]; b_ref: [1, O]
+    # a_ref: [R, Hc]; c_ref: [R, M]; w_ref: [M, Hc, O]; b_ref: [1, O]
+    j = pl.program_id(1)
     a = a_ref[:]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for m in range(M):
-        zm = a * c_ref[:, m : m + 1]  # [R, H] lane-broadcast multiply
-        acc = acc + jnp.dot(
-            zm, w_ref[m], preferred_element_type=jnp.float32
-        )
-    out_ref[:] = acc + b_ref[0, :][None, :]
+        zm = a * c_ref[:, m : m + 1]  # [R, Hc] lane-broadcast multiply
+        acc = acc + jnp.dot(zm, w_ref[m], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = acc + b_ref[0, :][None, :]
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[:] += acc
+
+
+def _r_for_m(R, M):
+    """Mosaic stack-allocates the unrolled m-loop's [R, Hc] temporaries, so
+    bound R such that M * R * 128 lanes of fp32 stays well under the ~16 MB
+    VMEM scope."""
+    if M <= 32:
+        return R
+    if M <= 64:
+        return min(R, 128)
+    if M <= 128:
+        return min(R, 64)
+    return min(R, 32)
 
 
 def _fused_contract(a_r, c_r, Wr, bias, *, R, interpret=False):
@@ -56,19 +93,29 @@ def _fused_contract(a_r, c_r, Wr, bias, *, R, interpret=False):
     N, H = a_r.shape
     M = c_r.shape[1]
     O = Wr.shape[2]
+    R = _r_for_m(R, M)
+    Hc = _h_chunk(H, M, O)
     kernel = functools.partial(_fwd_kernel, M=M)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
-        grid=(N // R,),
+        grid=(N // R, H // Hc),
         in_specs=[
-            pl.BlockSpec((R, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, H, O), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Hc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (M, Hc, O), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, O), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (R, O), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # v5e VMEM is 128 MB; the
+            # default 16 MB scoped limit rejects the larger backward variants
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * H * M * O,
             bytes_accessed=4 * (N * H + N * M + M * H * O + N * O),
@@ -78,8 +125,9 @@ def _fused_contract(a_r, c_r, Wr, bias, *, R, interpret=False):
 
 
 def _dw_kernel(g_ref, a_ref, c_ref, dw_ref, *, M):
-    # g_ref: [R, O]; a_ref: [R, H]; c_ref: [R, M]; dw_ref: [M, O, H]
-    i = pl.program_id(0)
+    # g_ref: [R, O]; a_ref: [R, Hc]; c_ref: [R, M]; dw_ref: [M, O, Hc]
+    # grid (h-chunk j, row-tile i): i fastest -> dw block j revisited across i.
+    i = pl.program_id(1)
     a = a_ref[:]
     g = g_ref[:]
 
@@ -88,12 +136,12 @@ def _dw_kernel(g_ref, a_ref, c_ref, dw_ref, *, M):
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     for m in range(M):
-        zm = a * c_ref[:, m : m + 1]  # [R, H]
+        zm = a * c_ref[:, m : m + 1]  # [R, Hc]
         dw_ref[m] += jax.lax.dot_general(
             g, zm,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [O, H]
+        )  # [O, Hc]
 
 
 def _dw_contract(g_r, a_r, c_r, *, R, interpret=False):
@@ -101,20 +149,25 @@ def _dw_contract(g_r, a_r, c_r, *, R, interpret=False):
     N, H = a_r.shape
     M = c_r.shape[1]
     O = g_r.shape[1]
+    R = _r_for_m(R, M)
+    Hc = _h_chunk(H, M, O)
     kernel = functools.partial(_dw_kernel, M=M)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, O, H), jnp.float32),
-        grid=(N // R,),
+        grid=(H // Hc, N // R),
         in_specs=[
-            pl.BlockSpec((R, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, O), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Hc), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, M), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (M, O, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (M, O, Hc), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(g_r, a_r, c_r)
 
 
