@@ -50,10 +50,20 @@ class MultiHeadSelfAttention(nn.Module):
         Q = dense("W_q")(x).reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
         K = dense("W_k")(x).reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
         V = dense("W_v")(x).reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhsk,bhtk->bhst", Q, K) / scale
-        probs = nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(rate=self.dropout)(probs, deterministic=not training)
-        out = jnp.einsum("bhst,bhtk->bhsk", probs, V)
+        if self.dropout == 0.0 or not training:
+            # fused VMEM-resident attention (ops/attention_pallas.py): scores
+            # never hit HBM — the XLA lowering's [B,h,S,S] tensor was the
+            # dominant cost of the attention variants.
+            from ..ops.attention_pallas import mhsa_attention
+
+            out = mhsa_attention(Q, K, V, 1.0 / scale)
+        else:
+            scores = jnp.einsum("bhsk,bhtk->bhst", Q, K) / scale
+            probs = nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(rate=self.dropout)(
+                probs, deterministic=not training
+            )
+            out = jnp.einsum("bhst,bhtk->bhsk", probs, V)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
         return dense("W_o")(out)
 
