@@ -30,7 +30,20 @@ N_SPARSE, N_DENSE, VOCAB, EMB = 26, 13, 10000, 10
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the train-step compile dominates bench
+    # wall time (~minutes over the device link); cached reruns are seconds.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/xdeepfm_tpu_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from xdeepfm_tpu.features import DenseFeat, SparseFeat

@@ -204,7 +204,7 @@ class BaseModel:
     # ------------------------------------------------------------- compile
 
     def compile(self, optimizer, loss=None, metrics=None, lr=None,
-                embedding_optimizer="dense"):
+                embedding_optimizer="dense", matmul_precision=None):
         """String (or optax GradientTransformation) optimizer, string loss
         name(s), metric-name list (``basemodel.py:433-445``).
 
@@ -213,7 +213,11 @@ class BaseModel:
         weight updates, and their L2 reg gradient applies lazily too.  Requires
         a string optimizer in {'adam', 'adagrad'}.  Default 'dense' matches the
         reference exactly.
+
+        matmul_precision: None (full fp32, reference parity) or 'bfloat16' —
+        single-pass bf16 MXU for the tower matmuls (opt-in mixed precision).
         """
+        self._matmul_precision = matmul_precision
         self.metrics_names = ["loss"]
         if isinstance(loss, list):
             self.loss_names = list(loss)
@@ -346,17 +350,27 @@ class BaseModel:
                 segs[0]: _tree_set(tree[segs[0]], "/".join(segs[1:]), val),
             }
 
+        matmul_precision = getattr(self, "_matmul_precision", None)
+
         def apply_train(params, batch_stats, batch, rng):
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            out, mutated = module.apply(
-                variables,
-                batch,
-                training=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"],
+            import contextlib
+
+            ctx = (
+                jax.default_matmul_precision(matmul_precision)
+                if matmul_precision
+                else contextlib.nullcontext()
             )
+            with ctx:
+                out, mutated = module.apply(
+                    variables,
+                    batch,
+                    training=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
             return out, mutated.get("batch_stats", batch_stats)
 
         def compute_loss(out, y, mask):
