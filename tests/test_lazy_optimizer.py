@@ -75,3 +75,71 @@ def test_lazy_checkpoint_roundtrip(tmp_path):
                embedding_optimizer="lazy")
     assert m2.load_checkpoint(p) == 1
     np.testing.assert_allclose(m2.predict(x, 128), m.predict(x, 128), rtol=1e-6)
+
+
+def _varlen_data(n=128, vocab=50, seed=3):
+    from xdeepfm_tpu.features import VarLenSparseFeat
+
+    rng = np.random.default_rng(seed)
+    # heavy duplication within each batch to exercise duplicate-id handling
+    x = {f"C{i}": rng.integers(0, 8, n) for i in range(3)}
+    x["I0"] = rng.uniform(0, 1, n).astype(np.float32)
+    x["hist"] = rng.integers(0, vocab, (n, 4))
+    y = rng.integers(0, 2, n).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, 8) for i in range(3)] + [
+        DenseFeat("I0"),
+        VarLenSparseFeat(SparseFeat("hist", vocab, 8), maxlen=4,
+                         combiner="mean"),
+    ]
+    return x, y, cols
+
+
+def test_gradient_split_matches_dense_grad_lazy():
+    """embedding_gradient='split' (lookup-boundary autodiff cut) must produce
+    the same training trajectory as the dense-cotangent lazy path."""
+    x, y, cols = _varlen_data()
+    params = {}
+    for mode in ("dense", "split"):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient=mode)
+        m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
+        params[mode] = jax.tree.map(np.asarray, m.params)
+    flat_d = jax.tree_util.tree_flatten_with_path(params["dense"])[0]
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(params["split"])[0])
+    for path, wd in flat_d:
+        np.testing.assert_allclose(
+            wd, flat_s[path], rtol=2e-5, atol=1e-7, err_msg=str(path)
+        )
+
+
+def test_gradient_split_multi_dispatch():
+    x, y, cols = _varlen_data()
+    preds = {}
+    for k in (1, 4):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient="split")
+        m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False,
+              steps_per_dispatch=k)
+        preds[k] = m.predict(x, 64)
+    np.testing.assert_allclose(preds[1], preds[4], rtol=1e-6)
+
+
+def test_gradient_split_untouched_rows_frozen():
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile("adam", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split")
+    before = np.asarray(m.params["embedding_dict"]["table_d8"]).copy()
+    xb = {f"C{i}": np.array([0, 1, 0, 1]) for i in range(4)}
+    xb["I0"] = np.zeros(4, np.float32)
+    yb = np.array([0, 1, 0, 1], np.float32)
+    m.fit(xb, yb, batch_size=4, epochs=1, verbose=0, shuffle=False)
+    after = np.asarray(m.params["embedding_dict"]["table_d8"])
+    for feat_idx in range(4):
+        off = feat_idx * 64
+        assert not np.allclose(after[off : off + 2], before[off : off + 2])
+        np.testing.assert_array_equal(
+            after[off + 2 : off + 64], before[off + 2 : off + 64]
+        )

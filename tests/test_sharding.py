@@ -161,3 +161,123 @@ def test_pallas_shard_map_cin_on_mesh():
         set_cin_backend("auto")
         set_active_mesh(None)
     np.testing.assert_allclose(pred_sm, pred_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_a2a_lookup_matches_replicated(mesh, rng):
+    from xdeepfm_tpu.parallel.sharded_embedding import sharded_lookup_a2a
+
+    rows, dim = 64, 8
+    table = rng.normal(size=(rows, dim)).astype(np.float32)
+    # duplicate-heavy ids (vocab 10) to exercise the dedup path
+    ids = rng.integers(0, 10, size=(16, 5)).astype(np.int32)
+    expect = table[ids]
+    table_d = jax.device_put(
+        jnp.asarray(table), NamedSharding(mesh, P("embed", None))
+    )
+    ids_d = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data", None)))
+    got = jax.jit(lambda t, i: sharded_lookup_a2a(t, i, mesh))(table_d, ids_d)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-6)
+
+
+def test_a2a_lookup_skewed_distribution(mesh, rng):
+    """All ids land on one owner shard (worst-case routing skew)."""
+    from xdeepfm_tpu.parallel.sharded_embedding import sharded_lookup_a2a
+
+    rows, dim = 64, 4
+    table = rng.normal(size=(rows, dim)).astype(np.float32)
+    ids = rng.integers(rows - 8, rows, size=(16, 3)).astype(np.int32)
+    expect = table[ids]
+    table_d = jax.device_put(
+        jnp.asarray(table), NamedSharding(mesh, P("embed", None))
+    )
+    ids_d = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data", None)))
+    got = jax.jit(lambda t, i: sharded_lookup_a2a(t, i, mesh))(table_d, ids_d)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-6)
+
+
+def test_a2a_lookup_grads(mesh, rng):
+    from xdeepfm_tpu.parallel.sharded_embedding import sharded_lookup_a2a
+
+    rows, dim = 32, 4
+    table = jnp.asarray(rng.normal(size=(rows, dim)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, 3, dim)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 12, size=(8, 3)).astype(np.int32))
+
+    def loss_plain(t):
+        return jnp.sum(w * jnp.take(t, ids, axis=0) ** 2)
+
+    g_plain = jax.grad(loss_plain)(table)
+
+    table_d = jax.device_put(table, NamedSharding(mesh, P("embed", None)))
+    ids_d = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    w_d = jax.device_put(w, NamedSharding(mesh, P("data", None, None)))
+
+    def loss_sharded(t):
+        return jnp.sum(w_d * sharded_lookup_a2a(t, ids_d, mesh) ** 2)
+
+    g_sharded = jax.jit(jax.grad(loss_sharded))(table_d)
+    np.testing.assert_allclose(
+        np.asarray(g_sharded), np.asarray(g_plain), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_a2a_embedding_mode_in_model():
+    """Full model forward with all_to_all lookups == gspmd forward."""
+    model, batch, y = _tiny_model_and_batch()
+    xb = {k: jnp.asarray(v) for k, v in batch.items()}
+    pred_plain = np.asarray(
+        model._predict_step(model.params, model.batch_stats, xb)
+    )
+    mesh = make_mesh(8)
+    try:
+        with mesh:
+            shard_model_state(model, mesh)
+            set_embedding_mode("all_to_all", mesh)
+            xb_s = shard_batch(batch, mesh)
+            pred_sharded = np.asarray(
+                model.module.apply(
+                    {"params": model.params}, xb_s, training=False
+                )["pred"]
+            )
+    finally:
+        set_embedding_mode("gspmd", None)
+    np.testing.assert_allclose(pred_sharded, pred_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_training_step_matches_single_device():
+    """One train step with all_to_all embedding exchange == un-sharded step."""
+    model1, batch, y = _tiny_model_and_batch()
+    yb = jnp.asarray(y[:, None])
+    mask = jnp.ones((len(y),), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in batch.items()}
+    p1, bs1, o1, total1, loss1, _ = model1._train_step(
+        model1.params, model1.batch_stats, model1.opt_state, xb, yb, mask, 0
+    )
+
+    model2, batch2, y2 = _tiny_model_and_batch()
+    mesh = make_mesh(8)
+    try:
+        with mesh:
+            shard_model_state(model2, mesh)
+            set_embedding_mode("all_to_all", mesh)
+            xb2 = shard_batch(batch2, mesh)
+            yb2 = jax.device_put(
+                jnp.asarray(y2[:, None]), NamedSharding(mesh, P("data", None))
+            )
+            mask2 = jax.device_put(
+                jnp.ones((len(y2),), jnp.float32),
+                NamedSharding(mesh, P("data")),
+            )
+            p2, bs2, o2, total2, loss2, _ = model2._train_step(
+                model2.params, model2.batch_stats, model2.opt_state, xb2, yb2,
+                mask2, 0,
+            )
+    finally:
+        set_embedding_mode("gspmd", None)
+    np.testing.assert_allclose(float(total1), float(total2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

@@ -171,14 +171,16 @@ class BaseModel:
             pattern = (pattern,)
         self.regularization_weight.append((tuple(pattern), l1, l2))
 
-    def _regularization_loss(self, params, lazy_paths=()):
+    def _regularization_loss(self, params, lazy_paths=(), skip_lazy=False):
         """sum(l1*|w|) + sum(l2*w^2) over matched params
         (``basemodel.py:412-428``).
 
         Params whose path is in ``lazy_paths`` contribute their VALUE to the
         loss but are stop-gradiented — their regularization gradient is applied
         row-sparsely by the lazy embedding optimizer instead of as a dense
-        full-table gradient."""
+        full-table gradient.  With ``skip_lazy`` they are omitted entirely
+        (gradient-split mode: the leaf holds compacted touched rows, not the
+        table; the engine adds the full-table reg value as a constant)."""
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         total = jnp.zeros(())
         for pattern, l1, l2 in self.regularization_weight:
@@ -186,6 +188,8 @@ class BaseModel:
                 p = _path_str(path)
                 if all(s in p for s in pattern):
                     if p in lazy_paths:
+                        if skip_lazy:
+                            continue
                         w = jax.lax.stop_gradient(w)
                     if l1 > 0:
                         total = total + jnp.sum(l1 * jnp.abs(w))
@@ -204,7 +208,8 @@ class BaseModel:
     # ------------------------------------------------------------- compile
 
     def compile(self, optimizer, loss=None, metrics=None, lr=None,
-                embedding_optimizer="dense", matmul_precision=None):
+                embedding_optimizer="dense", matmul_precision=None,
+                embedding_gradient="auto"):
         """String (or optax GradientTransformation) optimizer, string loss
         name(s), metric-name list (``basemodel.py:433-445``).
 
@@ -214,10 +219,27 @@ class BaseModel:
         a string optimizer in {'adam', 'adagrad'}.  Default 'dense' matches the
         reference exactly.
 
+        embedding_gradient (lazy mode only): 'dense' materializes the full
+        [rows, dim] table cotangent each step (autodiff default); 'split' cuts
+        autodiff at the lookup boundary — the step gathers the batch's touched
+        rows into a compact [N, dim] block, differentiates w.r.t. that block,
+        and the lazy optimizer scatters straight back into the table, so NO
+        full-table gradient/update pass ever runs (the only remaining
+        full-table read is the L2-reg value scan).  'auto' = split on a single
+        device, dense otherwise (a global sort over sharded ids would ride
+        collectives).
+
         matmul_precision: None (full fp32, reference parity) or 'bfloat16' —
         single-pass bf16 MXU for the tower matmuls (opt-in mixed precision).
         """
         self._matmul_precision = matmul_precision
+        if embedding_gradient not in ("auto", "dense", "split"):
+            raise ValueError(embedding_gradient)
+        if embedding_gradient == "auto":
+            embedding_gradient = (
+                "split" if jax.device_count() == 1 else "dense"
+            )
+        self._lazy_split = embedding_gradient == "split"
         self.metrics_names = ["loss"]
         if isinstance(loss, list):
             self.loss_names = list(loss)
@@ -324,8 +346,9 @@ class BaseModel:
         loss_names = self.loss_names
         metric_names = list(self.metrics.keys())
         lazy_specs = dict(self._lazy_tables)
+        lazy_split = bool(lazy_specs) and getattr(self, "_lazy_split", False)
         reg_fn = lambda p: self._regularization_loss(
-            p, lazy_paths=frozenset(lazy_specs)
+            p, lazy_paths=frozenset(lazy_specs), skip_lazy=lazy_split
         )
         optimizer = self.optimizer
         num_tasks = self.num_tasks
@@ -397,17 +420,54 @@ class BaseModel:
             batch["labels"] = y[:, :1] if y.ndim > 1 else y[:, None]
             batch["sample_mask"] = mask.reshape(-1)
 
-            def loss_fn(p):
-                out, new_bs = apply_train(p, batch_stats, batch, rng)
+            # Gradient-split mode: cut autodiff at the lookup boundary.  For
+            # each lazy table, gather the batch's touched rows into a compact
+            # [N, dim] block OUTSIDE the differentiated function and make that
+            # block (not the [rows, dim] table) the differentiated input;
+            # lookups remap absolute ids to compact positions through the
+            # sorted-id vector (batch['_compact']).  The table cotangent is
+            # then [N, dim] — no full-table zero-init/scatter/update traffic
+            # for 10M+-row tables.  The full tables stay in the variables dict
+            # (flax validates their shapes) but are never read inside the
+            # differentiated function except for the reg VALUE below.
+            reg_const = jnp.zeros(())
+            lazy_sids = {}
+            compact_rows = {}
+            if lazy_split:
+                for path, (entries, l1, l2) in lazy_specs.items():
+                    table = _tree_get(params, path)
+                    ids = touched_ids(batch, entries)
+                    sids = jnp.sort(ids)
+                    lazy_sids[path] = sids
+                    compact_rows[path] = jnp.take(table, sids, axis=0)
+                    # full-table reg VALUE (the one remaining full-table read;
+                    # its row-gradient is applied lazily below)
+                    if l1 > 0:
+                        reg_const = reg_const + l1 * jnp.sum(jnp.abs(table))
+                    if l2 > 0:
+                        reg_const = reg_const + l2 * jnp.sum(jnp.square(table))
+
+            def loss_fn(arg):
+                p, rows_map = arg
+                b = batch
+                if lazy_split:
+                    b = dict(batch)
+                    b["_compact"] = {
+                        path: (lazy_sids[path], rows_map[path])
+                        for path in rows_map
+                    }
+                out, new_bs = apply_train(p, batch_stats, b, rng)
                 loss = compute_loss(out, y, mask)
-                reg = reg_fn(p)
+                reg = reg_fn(p) + reg_const
                 aux = out.get("aux_loss", 0.0)
                 total = loss + reg + aux
                 return total, (loss, out, new_bs)
 
-            (total, (loss, out, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
+            (total, (loss, out, new_bs)), (grads, row_grads) = (
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    (params, compact_rows)
+                )
+            )
             if lazy_specs:
                 updates, new_optax_state = optimizer.update(
                     grads, opt_state["optax"], params
@@ -415,12 +475,26 @@ class BaseModel:
                 new_params = optax.apply_updates(params, updates)
                 new_lazy = {}
                 for path, (entries, l1, l2) in lazy_specs.items():
-                    g = _tree_get(grads, path)
-                    p_arr = _tree_get(new_params, path)
                     lstate = opt_state["lazy"][path]
-                    ids = touched_ids(batch, entries)
-                    g_rows = g[ids]
-                    p_rows = p_arr[ids]
+                    if lazy_split:
+                        # row_grads is the compact [N, dim] cotangent;
+                        # duplicate ids accumulated into their FIRST sorted
+                        # occurrence (the searchsorted remap always hits it),
+                        # so update only first occurrences and drop the rest
+                        # out-of-bounds.
+                        sids = lazy_sids[path]
+                        p_arr = _tree_get(params, path)
+                        g_rows = row_grads[path]
+                        p_rows = compact_rows[path]
+                        is_first = jnp.concatenate(
+                            [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+                        )
+                        ids = jnp.where(is_first, sids, p_arr.shape[0])
+                    else:
+                        p_arr = _tree_get(new_params, path)
+                        ids = touched_ids(batch, entries)
+                        g_rows = _tree_get(grads, path)[ids]
+                        p_rows = p_arr[ids]
                     if l2 > 0:
                         g_rows = g_rows + 2.0 * l2 * p_rows
                     if l1 > 0:

@@ -79,24 +79,40 @@ class EmbeddingCollection(nn.Module):
 
     # ---- single-feature lookups -------------------------------------------
 
-    def lookup_ids(self, ids, feat):
+    def _compact_entry(self, batch, dim):
+        """(sorted_touched_ids, compact_rows) for this module's stacked table
+        when the engine runs the lazy optimizer in gradient-split mode: the
+        full table is bypassed and lookups gather from the differentiated
+        [N, dim] compact-row block instead (absolute ids remapped to compact
+        positions via searchsorted).  Keyed by the table's full param path so
+        distinct collections can never collide."""
+        compact = batch.get("_compact") if isinstance(batch, dict) else None
+        if not compact:
+            return None
+        return compact.get("/".join(self.path) + f"/table_d{dim}")
+
+    def lookup_ids(self, ids, feat, batch=None):
         """Gather rows for an int32 id tensor of any shape -> [..., dim]."""
         from .parallel.sharded_embedding import maybe_sharded_take
 
         dim, off = self._offsets[feat.embedding_name]
-        table = self._tables[dim]
-        return maybe_sharded_take(table, ids + off)
+        entry = self._compact_entry(batch, dim) if batch is not None else None
+        if entry is not None:
+            sids, rows = entry
+            pos = jnp.searchsorted(sids, ids + off)
+            return jnp.take(rows, pos, axis=0)
+        return maybe_sharded_take(self._tables[dim], ids + off)
 
     def lookup_sparse(self, batch, feat: SparseFeat):
         """[B, 1, dim] for one SparseFeat (reference ``inputs.py:183-210``)."""
         idx = self.schema.sparse_index(feat.name)
         ids = batch["sparse"][:, idx : idx + 1]
-        return self.lookup_ids(ids, feat)
+        return self.lookup_ids(ids, feat, batch)
 
     def lookup_varlen_seq(self, batch, feat: VarLenSparseFeat):
         """[B, maxlen, dim] sequence embeddings (``inputs.py:213-227``)."""
         ids = batch["vl_" + feat.name]
-        return self.lookup_ids(ids, feat)
+        return self.lookup_ids(ids, feat, batch)
 
     def lookup_varlen_pooled(self, batch, feat: VarLenSparseFeat):
         """[B, 1, dim] pooled (``inputs.py:141-155``)."""
@@ -129,6 +145,10 @@ class EmbeddingCollection(nn.Module):
             [self._offsets[f.embedding_name][1] for f in feats], dtype=np.int32
         )
         ids = batch["sparse"][:, cols] + offs[None, :]
+        entry = self._compact_entry(batch, dim)
+        if entry is not None:
+            sids, rows = entry
+            return jnp.take(rows, jnp.searchsorted(sids, ids), axis=0)
         return jnp.take(self._tables[dim], ids, axis=0)  # [B, F, dim]
 
     def embed_inputs(

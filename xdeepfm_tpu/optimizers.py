@@ -26,7 +26,9 @@ def _row_set(arr, ids, vals):
     # duplicate ids always carry IDENTICAL values here (they were gathered
     # from the same summed-gradient row), so declaring unique_indices is safe
     # and lets XLA emit the parallel scatter instead of a serialized one.
-    return arr.at[ids].set(vals, unique_indices=True)
+    # mode='drop' lets the gradient-split path redirect duplicate positions
+    # to an out-of-bounds id so only the first occurrence writes.
+    return arr.at[ids].set(vals, unique_indices=True, mode="drop")
 
 
 def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,

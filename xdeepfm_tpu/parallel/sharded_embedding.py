@@ -12,11 +12,20 @@ lookups run under ``shard_map``:
 Backward is automatic: d(psum) is identity per shard, so each shard's gradient
 scatter-adds only into its own rows (no gradient exchange for the tables).
 
-Two modes:
+Three modes:
 * ``gspmd`` (default): plain ``jnp.take`` on a row-sharded table; XLA GSPMD
   partitions the gather itself.  Always correct, good baseline.
-* ``shard_map``: the explicit kernel above — deterministic collective schedule,
-  the layout the Pallas all-to-all path will slot into.
+* ``shard_map``: the explicit kernel above — deterministic collective schedule;
+  moves one full [B, F, D] reduce over the ``embed`` axis per lookup.
+* ``all_to_all``: the pod-scale exchange (SURVEY.md §7 hard part #1) — ids are
+  deduplicated and routed to their owning shard, the owner gathers its rows,
+  and rows travel back: each unique row crosses the interconnect ONCE instead
+  of being reduced ``embed``-size times.  Backward is a custom VJP that
+  segment-sums duplicate cotangents locally and reverses the exchange, so
+  table gradients scatter-add shard-locally.  On TPU the transfers use
+  ``lax.ragged_all_to_all`` (only actual rows ride ICI); on backends without
+  that primitive (XLA:CPU test meshes) a dense ``lax.all_to_all`` with the
+  same block layout emulates it bit-for-bit.
 """
 
 from __future__ import annotations
@@ -30,15 +39,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _MODE = "gspmd"
 _MESH: Optional[Mesh] = None
+_RAGGED: Optional[bool] = None  # None = auto (TPU yes, others no)
 
 
-def set_embedding_mode(mode: str, mesh: Optional[Mesh] = None):
-    """mode in {'gspmd', 'shard_map'}; shard_map requires a mesh with
-    ('data', 'embed') axes."""
-    global _MODE, _MESH
-    assert mode in ("gspmd", "shard_map")
+def set_embedding_mode(mode: str, mesh: Optional[Mesh] = None,
+                       ragged: Optional[bool] = None):
+    """mode in {'gspmd', 'shard_map', 'all_to_all'}; the latter two require a
+    mesh with ('data', 'embed') axes.  ragged forces/disables the
+    ragged_all_to_all transfer primitive (default: auto-detect by backend)."""
+    global _MODE, _MESH, _RAGGED
+    assert mode in ("gspmd", "shard_map", "all_to_all")
     _MODE = mode
     _MESH = mesh
+    _RAGGED = ragged
+
+
+def _use_ragged():
+    if _RAGGED is not None:
+        return _RAGGED
+    return jax.default_backend() == "tpu"
 
 
 def get_embedding_mode():
@@ -72,9 +91,193 @@ def sharded_lookup(table, ids, mesh: Mesh, data_axis="data", embed_axis="embed")
     )(table, ids)
 
 
+# --------------------------------------------------------------------------
+# all_to_all mode: dedup + route ids to owners, rows travel back once.
+# --------------------------------------------------------------------------
+
+
+def _sizes_exchange(sizes, axis):
+    """all_to_all a per-peer [E] vector: element j goes to peer j; returns the
+    vector of values received (element i = what peer i sent me)."""
+    return jax.lax.all_to_all(sizes[:, None], axis, 0, 0).reshape(-1)
+
+
+def _exchange_to_blocks(x, in_off, send_sizes, axis, E, cap):
+    """Send x[in_off[j] : in_off[j]+send_sizes[j]] to peer j.  Returns a
+    [E*cap, ...] buffer in per-SENDER block layout (block i = rows from peer
+    i, valid prefix length = recv_sizes[i])."""
+    out_shape = (E * cap,) + x.shape[1:]
+    if _use_ragged():
+        me = jax.lax.axis_index(axis)
+        out_off = jnp.full((E,), me * cap, jnp.int32)
+        recv_sizes = _sizes_exchange(send_sizes, axis)
+        return jax.lax.ragged_all_to_all(
+            x,
+            jnp.zeros(out_shape, x.dtype),
+            in_off.astype(jnp.int32),
+            send_sizes.astype(jnp.int32),
+            out_off,
+            recv_sizes.astype(jnp.int32),
+            axis_name=axis,
+        )
+    # emulation: dense blocks of fixed capacity (same layout, full-capacity
+    # transfers — test backends only)
+    idx = in_off[:, None] + jnp.arange(cap)[None, :]  # [E, cap]
+    blocks = jnp.take(x, jnp.clip(idx, 0, x.shape[0] - 1), axis=0)
+    recv = jax.lax.all_to_all(blocks, axis, 0, 0)  # [E, cap, ...]
+    return recv.reshape(out_shape)
+
+
+def _exchange_from_blocks(blocks_flat, block_sizes, dest_off, out_len, axis,
+                          E, cap):
+    """Reverse of :func:`_exchange_to_blocks`: send block j (valid prefix
+    block_sizes[j], at offset j*cap) back to peer j, landing at dest_off[j] in
+    the peer's compact [out_len, ...] buffer.  Receiver-side compact sizes are
+    the receiver's original send_sizes (implied by its dest offsets)."""
+    out_shape = (out_len,) + blocks_flat.shape[1:]
+    if _use_ragged():
+        recv_sizes = _sizes_exchange(block_sizes, axis)
+        return jax.lax.ragged_all_to_all(
+            blocks_flat,
+            jnp.zeros(out_shape, blocks_flat.dtype),
+            (jnp.arange(E, dtype=jnp.int32) * cap),
+            block_sizes.astype(jnp.int32),
+            dest_off.astype(jnp.int32),
+            recv_sizes.astype(jnp.int32),
+            axis_name=axis,
+        )
+    blocks = blocks_flat.reshape((E, cap) + blocks_flat.shape[1:])
+    recv = jax.lax.all_to_all(blocks, axis, 0, 0)  # [E, cap, ...] from peer i
+    # receiver-side compact reconstruction: position p came from the peer
+    # whose [my_off[i], my_off[i]+my_sizes[i]) range contains p.
+    my_off = _sizes_exchange(dest_off, axis)  # my_off[i] = dest_off_i[me]
+    # my compact layout is contiguous blocks sorted by peer: recover per-
+    # position source peer via searchsorted over block starts.
+    order = jnp.argsort(my_off)
+    starts = my_off[order]
+    p = jnp.arange(out_len)
+    which = jnp.clip(jnp.searchsorted(starts, p, side="right") - 1, 0, E - 1)
+    src_peer = order[which]
+    within = p - my_off[src_peer]
+    within = jnp.clip(within, 0, cap - 1)
+    return recv[src_peer, within]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _a2a_lookup_local(table_shard, ids_local, embed_axis, E, data_axis):
+    out, _ = _a2a_fwd_core(table_shard, ids_local, embed_axis, E)
+    return out
+
+
+def _a2a_fwd_core(table_shard, ids_local, embed_axis, E):
+    S = table_shard.shape[0]
+    shape = ids_local.shape
+    ids = ids_local.reshape(-1)
+    n = ids.shape[0]
+    me = jax.lax.axis_index(embed_axis)
+
+    # 1. sort + dedup (owner = id // S is monotone in id, so sorting by id
+    #    also groups by owner)
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+    )
+    uniq_pos = jnp.cumsum(is_first) - 1  # sorted position -> unique slot
+    n_uniq = uniq_pos[-1] + 1
+    uids = jnp.zeros((n,), ids.dtype).at[uniq_pos].set(sids)
+    valid = jnp.arange(n) < n_uniq
+
+    # 2. per-owner send layout (contiguous, since uids is sorted)
+    owner = jnp.where(valid, uids // S, E)
+    send_sizes = jnp.bincount(owner, length=E + 1)[:E].astype(jnp.int32)
+    in_off = (jnp.cumsum(send_sizes) - send_sizes).astype(jnp.int32)
+
+    # 3. ids travel to their owners (block layout on the owner side)
+    cap = n
+    buf_ids = _exchange_to_blocks(uids, in_off, send_sizes, embed_axis, E, cap)
+    recv_sizes = _sizes_exchange(send_sizes, embed_axis)
+
+    # 4. owner gathers its rows
+    local_idx = jnp.clip(buf_ids - me * S, 0, S - 1)
+    rows_buf = jnp.take(table_shard, local_idx, axis=0)  # [E*cap, D]
+
+    # 5. rows travel back, landing compactly at the requester's unique slots
+    off_from = _sizes_exchange(in_off, embed_axis)  # where my block lands
+    urows = _exchange_from_blocks(
+        rows_buf, recv_sizes, off_from, n, embed_axis, E, cap
+    )
+
+    # 6. expand unique rows to every occurrence and unsort
+    rows_sorted = jnp.take(urows, uniq_pos, axis=0)
+    out = jnp.zeros_like(rows_sorted).at[order].set(rows_sorted)
+    res = (order, uniq_pos, local_idx, recv_sizes, in_off, send_sizes,
+           off_from, S, n)
+    return out.reshape(shape + (table_shard.shape[1],)), res
+
+
+def _a2a_fwd(table_shard, ids_local, embed_axis, E, data_axis):
+    return _a2a_fwd_core(table_shard, ids_local, embed_axis, E)
+
+
+def _a2a_bwd(embed_axis, E, data_axis, res, g):
+    (order, uniq_pos, local_idx, recv_sizes, in_off, send_sizes, off_from,
+     S, n) = res
+    D = g.shape[-1]
+    g = g.reshape(-1, D)
+    cap = n
+    # segment-sum duplicate cotangents into their unique slot
+    g_sorted = jnp.take(g, order, axis=0)
+    g_uniq = jnp.zeros((n, D), g.dtype).at[uniq_pos].add(g_sorted)
+    # reverse route: unique cotangents travel to the owning shard
+    g_buf = _exchange_to_blocks(g_uniq, in_off, send_sizes, embed_axis, E, cap)
+    # mask block padding, scatter-add into the table shard's cotangent
+    block_valid = (
+        jnp.arange(cap)[None, :] < recv_sizes[:, None]
+    ).reshape(-1)
+    g_buf = jnp.where(block_valid[:, None], g_buf, 0.0)
+    d_table = jnp.zeros((S, D), g.dtype).at[local_idx].add(g_buf)
+    # the table is replicated over the data axis: its cotangent is the sum of
+    # every data-group's contribution (also establishes the replication the
+    # shard_map transpose requires)
+    d_table = jax.lax.psum(d_table, data_axis)
+    return (d_table, None)
+
+
+_a2a_lookup_local.defvjp(_a2a_fwd, _a2a_bwd)
+
+
+def sharded_lookup_a2a(table, ids, mesh: Mesh, data_axis="data",
+                       embed_axis="embed"):
+    """table: [rows, dim] sharded P(embed, None); ids: int32 [B, ...] ->
+    values [B, ..., dim].
+
+    Unlike the psum kernel (which keeps ids replicated over ``embed`` and
+    reduces full [B, F, D] blocks E times), the batch dim here shards over
+    BOTH mesh axes for the exchange: each device requests rows only for its
+    own [B/(dp·E), ...] sub-block from the owning shards in its ``embed``
+    row, so each unique row crosses the interconnect exactly once in each
+    direction and the output stays fully sharded (no replication anywhere).
+    Downstream tower compute consumes the (data, embed)-sharded activations
+    under GSPMD as plain full-batch data parallelism."""
+    E = mesh.shape[embed_axis]
+    both = (data_axis, embed_axis)
+    ids_spec = P(both, *([None] * (ids.ndim - 1)))
+    out_spec = P(both, *([None] * ids.ndim))
+    return jax.shard_map(
+        partial(_a2a_lookup_local, embed_axis=embed_axis, E=E,
+                data_axis=data_axis),
+        mesh=mesh,
+        in_specs=(P(embed_axis, None), ids_spec),
+        out_specs=out_spec,
+    )(table, ids)
+
+
 def maybe_sharded_take(table, ids):
     """Dispatch used by EmbeddingCollection.lookup_ids: plain take under gspmd,
-    the shard_map kernel when enabled."""
+    the shard_map / all_to_all kernels when enabled."""
     if _MODE == "shard_map" and _MESH is not None:
         return sharded_lookup(table, ids, _MESH)
+    if _MODE == "all_to_all" and _MESH is not None:
+        return sharded_lookup_a2a(table, ids, _MESH)
     return jnp.take(table, ids, axis=0)
