@@ -354,7 +354,7 @@ class BaseModel:
         num_tasks = self.num_tasks
         if lazy_specs:
             from .embeddings import touched_ids
-            from .optimizers import LAZY_OPTIMIZERS
+            from .optimizers import LAZY_OPTIMIZERS, segment_run_sums
 
             _, lazy_row_update, _ = LAZY_OPTIMIZERS[self._lazy_kind]
             lazy_lr = self._lazy_lr
@@ -421,25 +421,26 @@ class BaseModel:
             batch["sample_mask"] = mask.reshape(-1)
 
             # Gradient-split mode: cut autodiff at the lookup boundary.  For
-            # each lazy table, gather the batch's touched rows into a compact
-            # [N, dim] block OUTSIDE the differentiated function and make that
-            # block (not the [rows, dim] table) the differentiated input;
-            # lookups remap absolute ids to compact positions through the
-            # sorted-id vector (batch['_compact']).  The table cotangent is
-            # then [N, dim] — no full-table zero-init/scatter/update traffic
-            # for 10M+-row tables.  The full tables stay in the variables dict
-            # (flax validates their shapes) but are never read inside the
-            # differentiated function except for the reg VALUE below.
+            # each lazy table, gather the batch's PER-OCCURRENCE rows into a
+            # [N, dim] block (N = total looked-up positions, in touched_ids
+            # concatenation order) OUTSIDE the differentiated function and
+            # make that block — not the [rows, dim] table — the differentiated
+            # input.  Every model lookup is then a STATIC slice of the block
+            # (EmbeddingCollection._occ_layout mirrors the concat order), so
+            # the block's cotangent assembles from slice pads with no scatter,
+            # and no full-table zero-init/scatter/update traffic ever runs for
+            # 10M+-row tables.  The full tables stay in the variables dict
+            # (flax validates their shapes) but are read inside the
+            # differentiated function only for the reg VALUE below.
             reg_const = jnp.zeros(())
-            lazy_sids = {}
+            lazy_ids = {}
             compact_rows = {}
             if lazy_split:
                 for path, (entries, l1, l2) in lazy_specs.items():
                     table = _tree_get(params, path)
                     ids = touched_ids(batch, entries)
-                    sids = jnp.sort(ids)
-                    lazy_sids[path] = sids
-                    compact_rows[path] = jnp.take(table, sids, axis=0)
+                    lazy_ids[path] = ids
+                    compact_rows[path] = jnp.take(table, ids, axis=0)
                     # full-table reg VALUE (the one remaining full-table read;
                     # its row-gradient is applied lazily below)
                     if l1 > 0:
@@ -452,10 +453,7 @@ class BaseModel:
                 b = batch
                 if lazy_split:
                     b = dict(batch)
-                    b["_compact"] = {
-                        path: (lazy_sids[path], rows_map[path])
-                        for path in rows_map
-                    }
+                    b["_compact"] = dict(rows_map)
                 out, new_bs = apply_train(p, batch_stats, b, rng)
                 loss = compute_loss(out, y, mask)
                 reg = reg_fn(p) + reg_const
@@ -477,30 +475,36 @@ class BaseModel:
                 for path, (entries, l1, l2) in lazy_specs.items():
                     lstate = opt_state["lazy"][path]
                     if lazy_split:
-                        # row_grads is the compact [N, dim] cotangent;
-                        # duplicate ids accumulated into their FIRST sorted
-                        # occurrence (the searchsorted remap always hits it),
-                        # so update only first occurrences and drop the rest
-                        # out-of-bounds.
-                        sids = lazy_sids[path]
+                        # row_grads is the per-occurrence [N, dim] cotangent:
+                        # sort by id (one argsort — XLA scatters/sorts on 106k
+                        # elements cost ~2 ms, see optimizers.py) and give
+                        # every occurrence its duplicate-run SUM via cumsum
+                        # differences; duplicates then write identical values.
                         p_arr = _tree_get(params, path)
-                        g_rows = row_grads[path]
-                        p_rows = compact_rows[path]
+                        ids = lazy_ids[path]
+                        order = jnp.argsort(ids)
+                        sids = jnp.take(ids, order)
+                        g_sorted = jnp.take(row_grads[path], order, axis=0)
                         is_first = jnp.concatenate(
                             [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
                         )
-                        ids = jnp.where(is_first, sids, p_arr.shape[0])
+                        g_rows = segment_run_sums(g_sorted, is_first)
+                        p_rows = jnp.take(compact_rows[path], order, axis=0)
+                        ids = sids
+                        ids_sorted = True
                     else:
                         p_arr = _tree_get(new_params, path)
                         ids = touched_ids(batch, entries)
                         g_rows = _tree_get(grads, path)[ids]
                         p_rows = p_arr[ids]
+                        ids_sorted = False
                     if l2 > 0:
                         g_rows = g_rows + 2.0 * l2 * p_rows
                     if l1 > 0:
                         g_rows = g_rows + l1 * jnp.sign(p_rows)
                     p_new, lstate_new = lazy_row_update(
-                        p_arr, lstate, ids, g_rows, step + 1, lr=lazy_lr
+                        p_arr, lstate, ids, g_rows, step + 1, lr=lazy_lr,
+                        sorted_ids=ids_sorted,
                     )
                     new_params = _tree_set(new_params, path, p_new)
                     new_lazy[path] = lstate_new

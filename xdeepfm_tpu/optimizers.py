@@ -7,9 +7,15 @@ reference has exactly this behavior (dense ``nn.Embedding`` + Adam).
 
 Lazy mode updates only the rows touched by the batch — the standard recsys
 trade (torch calls it SparseAdam): untouched rows' moments do not decay.  The
-batch's dense scatter-added gradient ``g`` already holds the per-row SUM over
-duplicate ids, so gathering ``g[ids]`` and writing with ``.at[ids].set`` is
-exact even with duplicates (identical values written).
+row gradient ``g_rows`` holds, for every occurrence of an id, the SUM over all
+duplicate occurrences, so duplicate positions always write IDENTICAL values
+and ``.at[ids].set`` is exact.
+
+XLA:TPU lowers a row scatter on a [10M, 10] table to a serialized per-index
+loop (~12.5 ms per scatter for 106k rows on v5e, measured — independent of
+sortedness hints), so the scatter COUNT is the cost model: Adam's m/v moments
+pack into ONE [rows, 2*dim] state array (one gather + one scatter instead of
+two of each).
 """
 
 from __future__ import annotations
@@ -19,46 +25,85 @@ import jax.numpy as jnp
 
 
 def lazy_adam_init(table):
-    return (jnp.zeros_like(table), jnp.zeros_like(table))
+    # m and v packed side by side: [rows, 2*dim]
+    rows, dim = table.shape
+    return jnp.zeros((rows, 2 * dim), table.dtype)
 
 
-def _row_set(arr, ids, vals):
-    # duplicate ids always carry IDENTICAL values here (they were gathered
-    # from the same summed-gradient row), so declaring unique_indices is safe
-    # and lets XLA emit the parallel scatter instead of a serialized one.
-    # mode='drop' lets the gradient-split path redirect duplicate positions
-    # to an out-of-bounds id so only the first occurrence writes.
-    return arr.at[ids].set(vals, unique_indices=True, mode="drop")
+def _row_set(arr, ids, vals, sorted_ids=False):
+    # duplicate ids always carry IDENTICAL values here (per-occurrence run
+    # sums), so declaring unique_indices is safe and lets XLA emit the
+    # parallel scatter instead of a serialized one.  mode='drop' tolerates
+    # out-of-range padding ids.
+    return arr.at[ids].set(
+        vals, unique_indices=True, mode="drop", indices_are_sorted=sorted_ids
+    )
 
 
 def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,
-                   eps=1e-8):
+                   eps=1e-8, sorted_ids=False):
     """Row-wise Adam on the touched rows only.  t is the 1-based step."""
-    m, v = state
-    m_rows = b1 * m[ids] + (1 - b1) * g_rows
-    v_rows = b2 * v[ids] + (1 - b2) * jnp.square(g_rows)
+    D = p.shape[1]
+    mv_rows = state.at[ids].get(
+        mode="clip", indices_are_sorted=sorted_ids
+    )
+    m_rows = b1 * mv_rows[:, :D] + (1 - b1) * g_rows
+    v_rows = b2 * mv_rows[:, D:] + (1 - b2) * jnp.square(g_rows)
     t = t.astype(jnp.float32)
     mhat = m_rows / (1 - jnp.power(b1, t))
     vhat = v_rows / (1 - jnp.power(b2, t))
-    p_rows = p[ids] - lr * mhat / (jnp.sqrt(vhat) + eps)
+    p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
+    p_rows = p_rows - lr * mhat / (jnp.sqrt(vhat) + eps)
     return (
-        _row_set(p, ids, p_rows),
-        (_row_set(m, ids, m_rows), _row_set(v, ids, v_rows)),
+        _row_set(p, ids, p_rows, sorted_ids),
+        _row_set(
+            state, ids, jnp.concatenate([m_rows, v_rows], axis=1), sorted_ids
+        ),
     )
 
 
 def lazy_adagrad_init(table):
-    return (jnp.zeros_like(table),)
+    return jnp.zeros_like(table)
 
 
-def lazy_adagrad_rows(p, state, ids, g_rows, t, lr=0.01, eps=1e-10):
-    (acc,) = state
-    acc_rows = acc[ids] + jnp.square(g_rows)
-    p_rows = p[ids] - lr * g_rows / (jnp.sqrt(acc_rows) + eps)
-    return (_row_set(p, ids, p_rows), (_row_set(acc, ids, acc_rows),))
+def lazy_adagrad_rows(p, state, ids, g_rows, t, lr=0.01, eps=1e-10,
+                      sorted_ids=False):
+    acc_rows = state.at[ids].get(
+        mode="clip", indices_are_sorted=sorted_ids
+    ) + jnp.square(g_rows)
+    p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
+    p_rows = p_rows - lr * g_rows / (jnp.sqrt(acc_rows) + eps)
+    return (
+        _row_set(p, ids, p_rows, sorted_ids),
+        _row_set(state, ids, acc_rows, sorted_ids),
+    )
 
 
 LAZY_OPTIMIZERS = {
     "adam": (lazy_adam_init, lazy_adam_rows, {"lr": 1e-3}),
     "adagrad": (lazy_adagrad_init, lazy_adagrad_rows, {"lr": 0.01}),
 }
+
+
+def segment_run_sums(sorted_vals, is_first):
+    """Per-occurrence run totals over sorted segments, without a scatter:
+    every position k in a run of equal sorted ids receives the SUM of the
+    run's values, via cumsum differences at run boundaries.  [N, D] -> [N, D].
+
+    fp32 prefix-sum differencing loses ~sqrt(N)*eps relative precision vs
+    exact per-run summation — the same order as autodiff's unordered
+    scatter-add accumulation.
+    """
+    n = sorted_vals.shape[0]
+    idx = jnp.arange(n)
+    run_start = jax.lax.cummax(jnp.where(is_first, idx, 0))
+    nf_incl = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(is_first, idx, n))))
+    run_end_excl = jnp.concatenate([nf_incl[1:], jnp.array([n])])
+    csum0 = jnp.concatenate(
+        [jnp.zeros((1,) + sorted_vals.shape[1:], sorted_vals.dtype),
+         jnp.cumsum(sorted_vals, axis=0)],
+        axis=0,
+    )
+    return jnp.take(csum0, run_end_excl, axis=0) - jnp.take(
+        csum0, run_start, axis=0
+    )
