@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(vocab, mode):
+def bench(vocab, mode, opt="adam"):
     import jax
     import jax.numpy as jnp
 
@@ -37,12 +37,12 @@ def bench(vocab, mode):
         seed=1024,
     )
     if mode == "dense":
-        model.compile("adam", "binary_crossentropy", metrics=[])
+        model.compile(opt, "binary_crossentropy", metrics=[])
     elif mode == "lazy":
-        model.compile("adam", "binary_crossentropy", metrics=[],
+        model.compile(opt, "binary_crossentropy", metrics=[],
                       embedding_optimizer="lazy", embedding_gradient="dense")
     elif mode == "lazy_split":
-        model.compile("adam", "binary_crossentropy", metrics=[],
+        model.compile(opt, "binary_crossentropy", metrics=[],
                       embedding_optimizer="lazy", embedding_gradient="split")
     else:
         raise ValueError(mode)
@@ -78,6 +78,7 @@ def bench(vocab, mode):
     step_s = (d2 - d1) / (n2 - n1)
     print(json.dumps({
         "mode": mode,
+        "optimizer": opt,
         "rows": vocab * 26,
         "step_ms": round(step_s * 1e3, 2),
         "examples_per_s": round(4096 / step_s, 1),
@@ -98,9 +99,12 @@ def main():
     except Exception:
         pass
     vocab = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    modes = sys.argv[2:] or ["dense", "lazy", "lazy_split"]
-    for mode in modes:
-        bench(vocab, mode)
+    args = sys.argv[2:] or ["dense", "lazy", "lazy_split"]
+    opt = "adam"
+    if args and args[0] in ("adam", "adagrad"):
+        opt, args = args[0], args[1:]
+    for mode in args:
+        bench(vocab, mode, opt)
 
 
 if __name__ == "__main__":

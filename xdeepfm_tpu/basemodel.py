@@ -442,11 +442,16 @@ class BaseModel:
                     lazy_ids[path] = ids
                     compact_rows[path] = jnp.take(table, ids, axis=0)
                     # full-table reg VALUE (the one remaining full-table read;
-                    # its row-gradient is applied lazily below)
+                    # its row-gradient is applied lazily below).  Flattened so
+                    # XLA fuses square+reduce in one stage (a [R, 1] table
+                    # otherwise materializes a full [R] row-sum temp).
+                    flat_t = table.reshape(-1)
                     if l1 > 0:
-                        reg_const = reg_const + l1 * jnp.sum(jnp.abs(table))
+                        reg_const = reg_const + l1 * jnp.sum(jnp.abs(flat_t))
                     if l2 > 0:
-                        reg_const = reg_const + l2 * jnp.sum(jnp.square(table))
+                        reg_const = reg_const + l2 * jnp.sum(
+                            jnp.square(flat_t)
+                        )
 
             def loss_fn(arg):
                 p, rows_map = arg
