@@ -21,30 +21,67 @@ def _xla_attn(q, k, v, scale):
     return jnp.einsum("gst,gtk->gsk", p, v)
 
 
-@pytest.mark.parametrize("G,S,dh", [(4, 16, 5), (6, 24, 8)])
-def test_forward_matches_xla(rng, G, S, dh):
-    q = jnp.asarray(rng.normal(size=(G, S, dh)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(G, S, dh)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(G, S, dh)).astype(np.float32))
+@pytest.mark.parametrize("G,S,h,dh", [(4, 16, 1, 5), (6, 24, 2, 8)])
+def test_forward_matches_xla(rng, G, S, h, dh):
+    q = jnp.asarray(rng.normal(size=(G, S, h * dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(G, S, h * dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(G, S, h * dh)).astype(np.float32))
     scale = 1.0 / np.sqrt(dh)
-    out = ap.small_attention(q, k, v, scale)
-    expect = _xla_attn(q, k, v, scale)
+    out = jnp.concatenate(
+        [
+            ap.small_attention(
+                q[..., j * dh : (j + 1) * dh],
+                k[..., j * dh : (j + 1) * dh],
+                v[..., j * dh : (j + 1) * dh],
+                scale,
+            )
+            for j in range(h)
+        ],
+        axis=-1,
+    )
+    expect = jnp.concatenate(
+        [
+            _xla_attn(q[..., j * dh : (j + 1) * dh],
+                      k[..., j * dh : (j + 1) * dh],
+                      v[..., j * dh : (j + 1) * dh], scale)
+            for j in range(h)
+        ],
+        axis=-1,
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4,
                                atol=1e-5)
 
 
 def test_grads_match_xla(rng):
-    G, S, dh = 3, 12, 4
-    q = jnp.asarray(rng.normal(size=(G, S, dh)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(G, S, dh)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(G, S, dh)).astype(np.float32))
+    G, S, h, dh = 3, 12, 2, 4
+    q = jnp.asarray(rng.normal(size=(G, S, h * dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(G, S, h * dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(G, S, h * dh)).astype(np.float32))
     scale = 0.5
 
     def loss_p(q, k, v):
-        return jnp.sum(ap.small_attention(q, k, v, scale) ** 2)
+        outs = [
+            ap.small_attention(
+                q[..., j * dh : (j + 1) * dh],
+                k[..., j * dh : (j + 1) * dh],
+                v[..., j * dh : (j + 1) * dh],
+                scale,
+            )
+            for j in range(h)
+        ]
+        return jnp.sum(jnp.concatenate(outs, axis=-1) ** 2)
 
     def loss_x(q, k, v):
-        return jnp.sum(_xla_attn(q, k, v, scale) ** 2)
+        outs = [
+            _xla_attn(
+                q[..., j * dh : (j + 1) * dh],
+                k[..., j * dh : (j + 1) * dh],
+                v[..., j * dh : (j + 1) * dh],
+                scale,
+            )
+            for j in range(h)
+        ]
+        return jnp.sum(jnp.concatenate(outs, axis=-1) ** 2)
 
     gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)

@@ -143,3 +143,12 @@ def test_gradient_split_untouched_rows_frozen():
         np.testing.assert_array_equal(
             after[off + 2 : off + 64], before[off + 2 : off + 64]
         )
+
+
+def test_embedding_optimizer_auto_small_tables_dense():
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile("adam", "binary_crossentropy", metrics=[],
+              embedding_optimizer="auto")
+    assert not m._lazy_tables  # 256-row tables -> dense streaming
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)

@@ -217,7 +217,8 @@ class BaseModel:
         row-sparse (lazy) optimizer update — only touched rows get moment and
         weight updates, and their L2 reg gradient applies lazily too.  Requires
         a string optimizer in {'adam', 'adagrad'}.  Default 'dense' matches the
-        reference exactly.
+        reference exactly.  'auto' picks lazy for >=30M-row stacked tables
+        (the measured v5e crossover, BASELINE.md) and dense otherwise.
 
         embedding_gradient (lazy mode only): 'dense' materializes the full
         [rows, dim] table cotangent each step (autodiff default); 'split' cuts
@@ -248,6 +249,30 @@ class BaseModel:
         self.metrics = self._get_metrics(metrics)
 
         self._lazy_tables = {}
+        if embedding_optimizer == "auto":
+            # measured crossover on v5e (BASELINE.md): XLA row scatters are
+            # serialized per index, so dense full-table streaming wins below
+            # ~50M rows; above, lazy is faster AND the only mode that fits
+            # (dense adam OOMs one chip from ~65M rows).
+            from .optimizers import LAZY_OPTIMIZERS as _LO
+
+            max_rows = max(
+                (
+                    w.shape[0]
+                    for p, w in jax.tree_util.tree_flatten_with_path(
+                        self.params
+                    )[0]
+                    if "table_d" in _path_str(p)
+                ),
+                default=0,
+            )
+            embedding_optimizer = (
+                "lazy"
+                if max_rows >= 30_000_000
+                and isinstance(optimizer, str)
+                and optimizer in _LO
+                else "dense"
+            )
         if embedding_optimizer == "lazy":
             from .optimizers import LAZY_OPTIMIZERS
 

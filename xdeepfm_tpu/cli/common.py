@@ -78,9 +78,9 @@ def base_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--embedding_optimizer", type=str, default="dense",
-        choices=["dense", "lazy"],
-        help="'lazy' = row-sparse table updates (SparseAdam-style); "
-        "recommended for large vocabularies",
+        choices=["dense", "lazy", "auto"],
+        help="'lazy' = row-sparse table updates (SparseAdam-style) for large "
+        "vocabularies; 'auto' picks by table size (>=30M rows -> lazy)",
     )
     return p
 

@@ -47,24 +47,28 @@ class MultiHeadSelfAttention(nn.Module):
         dense = lambda name: nn.Dense(
             E, use_bias=False, kernel_init=glorot, name=name
         )
-        Q = dense("W_q")(x).reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
-        K = dense("W_k")(x).reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
-        V = dense("W_v")(x).reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
+        # q/k/v stay in the projections' natural [B, S, E] packed-head layout
+        # end to end (head transposes materialized ~11 ms/step of relayout
+        # copies at B=4096 on v5e, whichever side performed them)
+        Q = dense("W_q")(x)
+        K = dense("W_k")(x)
+        V = dense("W_v")(x)
         if self.dropout == 0.0 or not training:
-            # fused VMEM-resident attention (ops/attention_pallas.py): scores
-            # never hit HBM — the XLA lowering's [B,h,S,S] tensor was the
-            # dominant cost of the attention variants.
-            from ..ops.attention_pallas import mhsa_attention
+            # fused VMEM-resident attention by default on single-chip TPU
+            # (ops/attention_pallas.py), XLA einsums elsewhere
+            from ..ops.attention_pallas import mhsa_attention_packed
 
-            out = mhsa_attention(Q, K, V, 1.0 / scale)
+            out = mhsa_attention_packed(Q, K, V, 1.0 / scale, num_heads)
         else:
-            scores = jnp.einsum("bhsk,bhtk->bhst", Q, K) / scale
+            Qr = Q.reshape(B, S, num_heads, head_dim)
+            Kr = K.reshape(B, S, num_heads, head_dim)
+            Vr = V.reshape(B, S, num_heads, head_dim)
+            scores = jnp.einsum("bshd,bthd->bhst", Qr, Kr) / scale
             probs = nn.softmax(scores, axis=-1)
             probs = nn.Dropout(rate=self.dropout)(
                 probs, deterministic=not training
             )
-            out = jnp.einsum("bhst,bhtk->bhsk", probs, V)
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
+            out = jnp.einsum("bhst,bthd->bshd", probs, Vr).reshape(B, S, E)
         return dense("W_o")(out)
 
 

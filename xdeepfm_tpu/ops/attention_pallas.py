@@ -1,17 +1,31 @@
 """Fused small-sequence attention kernel for the attention-pooled CIN.
 
-The CIN-attention variants run MHSA over <=~350 feature maps with TINY head
-dims (emb/heads ~ 5) — ``cin_attention.py:292-302``.  At B=4096 the XLA
-lowering materializes [B, h, S, S] scores in HBM (~2 GB per tensor) and wastes
-the MXU on K=dh=5 contractions.  This kernel:
+The CIN-attention variants run MHSA over a few hundred feature maps with TINY
+head dims (emb/heads ~ 5) — reference ``cin_attention.py:292-302``.  At
+B=4096 the XLA lowering materializes [B, h, S, S] score/probability tensors in
+HBM for the backward pass (~2 GB each; measured 37 ms fwd+bwd on v5e), and
+jax's bundled TPU flash kernel is worse still (99 ms — its blocking assumes
+LLM head dims, so dh=5 wastes 25x on every matmul AND pays full blocking
+overhead).
 
-* computes scores on the VPU as dh broadcast FMAs (no lane-padded matmul),
-* keeps scores/probabilities entirely in VMEM (never written to HBM),
-* recomputes the softmax in the backward kernel (flash-style) so the only
-  HBM traffic is q/k/v/g/out at [G, S, dh].
+MEASURED (v5e, B=4096, h=2, S=256, dh=5, xDeepFMAttention train step):
+48.4 ms XLA (either einsum form — XLA materializes the head transposes inside
+its batched matmuls) vs 42.8 ms for this kernel.  A packed-head [B, S, E]
+variant that slices heads on VMEM values (killing the feed transposes, ~6 ms)
+STALLS the Mosaic compiler — unaligned 5-lane value slices; do not revisit
+without checking Mosaic first.  Numerically exact fp32 — tighter than the XLA
+path's default single-pass-bf16 matmuls.  Design:
 
-Layout: q [G, S, dh] and kT/vT [G, dh, S] with G = B*heads flattened outside
-(the transposes are tiny relative to the scores they replace).
+* one grid program handles a tile of Bt (batch*head) pairs; per pair the
+  score/prob [S, S] lives only in registers/VMEM,
+* every contraction is a single MXU dot_general straight from the [S, dh]
+  operands (no host-side transposes; dh pads to the 128 lane tile — 25x pad
+  waste, but the MXU has throughput to spare at these sizes),
+* the backward recomputes the softmax (flash-style) so HBM traffic is just
+  q/k/v/g and the output gradients at [G, S, dh].
+
+All math is fp32 (preferred_element_type) — tighter than the XLA path's
+default single-pass-bf16 matmuls.
 """
 
 from __future__ import annotations
@@ -31,117 +45,83 @@ def set_interpret(flag: bool):
     _INTERPRET = flag
 
 
-def _scores(q, kt, scale, dh):
-    # q: [S, dh]; kt: [dh, S] -> s: [S, S] via dh broadcast FMAs (VPU)
-    s = q[:, 0:1] * kt[0:1, :]
-    for d in range(1, dh):
-        s = s + q[:, d : d + 1] * kt[d : d + 1, :]
-    return s * scale
-
-
 def _softmax(s):
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale, dh, Bt):
-    for b in range(Bt):
-        p = _softmax(_scores(q_ref[b], kt_ref[b], scale, dh))  # [S, S]
-        # out = p @ v: contract S (K=S, MXU-friendly); vt [dh, S] -> v [S, dh]
-        o_ref[b] = jax.lax.dot_general(
-            p, vt_ref[b],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+def _dot(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _bwd_kernel(q_ref, kt_ref, vt_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
-                scale, dh, Bt):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, Bt):
     for b in range(Bt):
         q = q_ref[b]  # [S, dh]
-        kt = kt_ref[b]  # [dh, S]
-        vt = vt_ref[b]
-        g = g_ref[b]  # [S, dh]
-        p = _softmax(_scores(q, kt, scale, dh))  # recompute, VMEM-only
-        # dv = p^T g  (K=S on MXU)
-        dv_ref[b] = jax.lax.dot_general(
-            p, g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dp = g v^T via dh broadcast FMAs
-        dp = g[:, 0:1] * vt[0:1, :]
-        for d in range(1, dh):
-            dp = dp + g[:, d : d + 1] * vt[d : d + 1, :]
+        s = _dot(q, k_ref[b], ((1,), (1,))) * scale  # q k^T  [S, S]
+        p = _softmax(s)
+        o_ref[b] = _dot(p, v_ref[b], ((1,), (0,)))  # p v    [S, dh]
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                scale, Bt):
+    for b in range(Bt):
+        q, k, v, g = q_ref[b], k_ref[b], v_ref[b], g_ref[b]
+        p = _softmax(_dot(q, k, ((1,), (1,))) * scale)  # recompute, VMEM-only
+        dv_ref[b] = _dot(p, g, ((0,), (0,)))            # p^T g   [S, dh]
+        dp = _dot(g, v, ((1,), (1,)))                   # g v^T   [S, S]
         ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p * scale
-        # dq = ds @ k   (k = kt^T; contract S: K=S on MXU)
-        dq_ref[b] = jax.lax.dot_general(
-            ds, kt,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dk = ds^T @ q (contract S)
-        dk_ref[b] = jax.lax.dot_general(
-            ds, q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dq_ref[b] = _dot(ds, k, ((1,), (0,)))           # ds k    [S, dh]
+        dk_ref[b] = _dot(ds, q, ((0,), (0,)))           # ds^T q  [S, dh]
 
 
 def _pick_bt(G, S):
-    # per-pair VMEM ~ a few [S, S] fp32 buffers; keep the block modest
-    budget = max(1, (2 * 1024 * 1024) // (S * S * 4))
-    bt = min(8, budget)
+    # per-pair live [S, S] fp32 temporaries; keep the unrolled tile around
+    # a few MB of VMEM
+    budget = max(1, (6 * 1024 * 1024) // (S * S * 4))
+    bt = min(16, budget)
     while G % bt:
         bt -= 1
     return bt
 
 
-def _specs(G, S, dh, Bt):
-    sd = pl.BlockSpec((Bt, S, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    st = pl.BlockSpec((Bt, dh, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return sd, st
-
-
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def small_attention(q, k, v, scale):
     """softmax(q k^T * scale) v for [G, S, dh]; scores never leave VMEM."""
     out, _ = _sa_fwd(q, k, v, scale)
     return out
 
 
-def _run_fwd(q, kt, vt, scale):
+def _sa_fwd(q, k, v, scale):
     G, S, dh = q.shape
     Bt = _pick_bt(G, S)
-    sd, st = _specs(G, S, dh, Bt)
-    kernel = functools.partial(_fwd_kernel, scale=scale, dh=dh, Bt=Bt)
-    return pl.pallas_call(
+    sd = pl.BlockSpec((Bt, S, dh), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_kernel, scale=scale, Bt=Bt)
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((G, S, dh), jnp.float32),
         grid=(G // Bt,),
-        in_specs=[sd, st, st],
+        in_specs=[sd, sd, sd],
         out_specs=sd,
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(q, kt, vt)
+    )(q, k, v)
+    return out, (q, k, v)
 
 
-def _sa_fwd(q, k, v, scale):
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-    out = _run_fwd(q, kt, vt, scale)
-    return out, (q, kt, vt, scale)
-
-
-def _sa_bwd(res, g):
-    q, kt, vt, scale = res
+def _sa_bwd(scale, res, g):
+    q, k, v = res
     G, S, dh = q.shape
     Bt = _pick_bt(G, S)
-    sd, st = _specs(G, S, dh, Bt)
-    kernel = functools.partial(_bwd_kernel, scale=scale, dh=dh, Bt=Bt)
+    sd = pl.BlockSpec((Bt, S, dh), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    kernel = functools.partial(_bwd_kernel, scale=scale, Bt=Bt)
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=(
@@ -150,52 +130,66 @@ def _sa_bwd(res, g):
             jax.ShapeDtypeStruct((G, S, dh), jnp.float32),
         ),
         grid=(G // Bt,),
-        in_specs=[sd, st, st, sd],
+        in_specs=[sd, sd, sd, sd],
         out_specs=(sd, sd, sd),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(q, kt, vt, g)
-    return dq, dk, dv, None
+    )(q, k, v, g)
+    return dq, dk, dv
 
 
 small_attention.defvjp(_sa_fwd, _sa_bwd)
 
 
-_MHSA_BACKEND = "xla"
+_MHSA_BACKEND = "auto"
 
 
 def set_mhsa_backend(name: str):
-    """'xla' (default) or 'pallas'.  The fused kernel is numerically verified
-    (tests) but EXPERIMENTAL on real hardware: v1 (MXU scores + saved probs)
-    measured slower than XLA at dh=5, and v2's compile stalled the remote
-    compiler — revisit before enabling by default."""
+    """'auto' (default: the fused kernel on single-chip TPU, XLA einsums
+    elsewhere), 'xla', or 'pallas'."""
     global _MHSA_BACKEND
-    assert name in ("xla", "pallas")
+    assert name in ("auto", "xla", "pallas")
     _MHSA_BACKEND = name
 
 
-def mhsa_attention(Q, K, V, scale, backend: str = "auto"):
-    """[B, h, S, dh] attention dispatch (see set_mhsa_backend)."""
-    B, h, S, dh = Q.shape
-    if backend == "auto":
-        be = _MHSA_BACKEND
+def get_mhsa_backend():
+    return _MHSA_BACKEND
+
+
+def mhsa_attention_packed(Q, K, V, scale, heads, backend: str = "auto"):
+    """Attention over [B, S, E] with E = heads*dh packed along the last axis
+    (the q/k/v projections' natural output layout).  Dispatch per
+    set_mhsa_backend."""
+    B, S, E = Q.shape
+    dh = E // heads
+    be = _MHSA_BACKEND if backend == "auto" else backend
+    if be == "auto":
         try:
-            if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
-                be = "xla"
+            be = (
+                "pallas"
+                if jax.default_backend() == "tpu" and len(jax.devices()) == 1
+                else "xla"
+            )
         except Exception:
             be = "xla"
-    else:
-        be = backend
     if be == "pallas" or _INTERPRET:
-        out = small_attention(
-            Q.reshape(B * h, S, dh).astype(jnp.float32),
-            K.reshape(B * h, S, dh).astype(jnp.float32),
-            V.reshape(B * h, S, dh).astype(jnp.float32),
-            float(scale),
+        perm = lambda x: (
+            x.reshape(B, S, heads, dh)
+            .transpose(0, 2, 1, 3)
+            .reshape(B * heads, S, dh)
+            .astype(jnp.float32)
         )
-        return out.reshape(B, h, S, dh)
-    scores = jnp.einsum("bhsk,bhtk->bhst", Q, K) * scale
+        out = small_attention(perm(Q), perm(K), perm(V), float(scale))
+        return (
+            out.reshape(B, heads, S, dh)
+            .transpose(0, 2, 1, 3)
+            .reshape(B, S, E)
+        )
+    Qr = Q.reshape(B, S, heads, dh)
+    Kr = K.reshape(B, S, heads, dh)
+    Vr = V.reshape(B, S, heads, dh)
+    scores = jnp.einsum("bshd,bthd->bhst", Qr, Kr) * scale
     probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhst,bhtk->bhsk", probs, V)
+    return jnp.einsum("bhst,bthd->bshd", probs, Vr).reshape(B, S, E)
