@@ -386,3 +386,70 @@ class LinearModel(nn.Module):
         for l in logits[1:]:
             out = out + l
         return out
+
+
+# --------------------------------------------------------------------------
+# Reference-named functional helpers (``deepctr/inputs.py``).  The framework's
+# own code calls EmbeddingCollection methods directly; these wrappers carry
+# the reference's names/signatures for code being ported from it.  ``X`` is
+# this framework's typed batch dict instead of the flat fp32 matrix.
+# --------------------------------------------------------------------------
+
+
+def create_embedding_matrix(feature_columns, init_std=1e-4, linear=False,
+                            sparse=False, device=None):
+    """Reference ``inputs.py:158-180``: the embedding container for a
+    feature-column list — here one :class:`EmbeddingCollection` of per-dim
+    stacked tables (``linear=True`` forces dim 1).  ``sparse``/``device`` are
+    accepted for signature parity and ignored (JAX manages placement)."""
+    del sparse, device
+    return EmbeddingCollection(
+        feature_columns=tuple(feature_columns),
+        schema=FeatureSchema.build(list(feature_columns)),
+        linear=linear,
+        init_std=init_std,
+    )
+
+
+def embedding_lookup(batch, embedding_collection, sparse_feature_columns,
+                     return_feat_list=(), to_list=False):
+    """Reference ``inputs.py:183-210``: per-group [B, 1, dim] embeddings."""
+    groups = embedding_collection.grouped_sparse(
+        batch, sparse_feature_columns, return_feat_list
+    )
+    if to_list:
+        return [e for group in groups.values() for e in group]
+    return groups
+
+
+def varlen_embedding_lookup(batch, embedding_collection,
+                            varlen_sparse_feature_columns):
+    """Reference ``inputs.py:213-227``: {name: [B, maxlen, dim]}."""
+    return {
+        f.name: embedding_collection.lookup_varlen_seq(batch, f)
+        for f in varlen_sparse_feature_columns
+    }
+
+
+def get_varlen_pooling_list(batch, embedding_collection,
+                            varlen_sparse_feature_columns):
+    """Reference ``inputs.py:141-155``: pooled [B, 1, dim] per varlen feat."""
+    return [
+        embedding_collection.lookup_varlen_pooled(batch, f)
+        for f in varlen_sparse_feature_columns
+    ]
+
+
+def get_dense_input(batch, schema: FeatureSchema, feature_columns):
+    """Reference ``inputs.py:230-238``: list of [B, dimension] dense slices."""
+    _, de, _ = split_columns(feature_columns)
+    return [
+        batch["dense"][:, slice(*schema.dense_slice(f.name))] for f in de
+    ]
+
+
+def maxlen_lookup(batch, maxlen_column):
+    """Reference ``inputs.py:241-245``: explicit [B, 1] sequence lengths."""
+    if maxlen_column is None or len(maxlen_column) == 0:
+        raise ValueError("please add max length column for VarLenSparseFeat of DIN/DIEN input")
+    return batch["len_" + maxlen_column[0]]

@@ -263,3 +263,37 @@ def compute_input_dim(
     if include_dense:
         dim += dense_dim
     return dim
+
+
+def build_input_features(feature_columns: Sequence[FeatureColumn]):
+    """Reference-compatible column-slice map (``inputs.py:99-123``): an
+    ``OrderedDict {feature_name: (start, end)}`` over the reference's flat
+    fp32 input matrix — sparse features take 1 column, dense take
+    ``dimension``, varlen take ``maxlen`` (+1 for an explicit length column).
+
+    This framework's batches are TYPED (``FeatureSchema``) rather than one
+    flat matrix, so nothing internal consumes these slices; they are provided
+    for code being ported from the reference (e.g. to slice a legacy
+    ``[B, sum(widths)]`` array before ``FeatureSchema.pack``)."""
+    from collections import OrderedDict
+
+    features = OrderedDict()
+    start = 0
+    for feat in feature_columns:
+        if feat.name in features:
+            continue
+        if isinstance(feat, SparseFeat):
+            features[feat.name] = (start, start + 1)
+            start += 1
+        elif isinstance(feat, DenseFeat):
+            features[feat.name] = (start, start + feat.dimension)
+            start += feat.dimension
+        elif isinstance(feat, VarLenSparseFeat):
+            features[feat.name] = (start, start + feat.maxlen)
+            start += feat.maxlen
+            if feat.length_name is not None and feat.length_name not in features:
+                features[feat.length_name] = (start, start + 1)
+                start += 1
+        else:
+            raise TypeError("Invalid feature column type,got", type(feat))
+    return features

@@ -108,3 +108,14 @@ def apply_activation(act, x, training: bool = False):
     if isinstance(act, (Dice, PReLU)):
         return act(x, training=training)
     return act(x)
+
+
+class Identity(nn.Module):
+    """Pass-through activation (reference ``activation.py:48-54``)."""
+
+    def __call__(self, x):
+        return x
+
+
+# reference name for the str -> activation factory (``activation.py:57-84``)
+activation_layer = make_activation

@@ -152,3 +152,19 @@ class LocalActivationUnit(nn.Module):
         )
         att_out = self.dnn(att_input, training=training)
         return self.dense(att_out)  # [B, T, 1]
+
+
+class Conv2dSame(nn.Module):
+    """TF-style SAME-padding 2-D conv (reference ``core.py:163-185`` — a torch
+    shim for what flax's NHWC Conv does natively).  Input [B, H, W, C]."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features, self.kernel_size, strides=self.strides,
+            padding="SAME",
+        )(x)

@@ -1,11 +1,12 @@
 from .autodis import AutoDisLayer, DenseFeatureEncoder
-from .sfg import LabelAwareAttention, SFGDecoder, sfg_loss
+from .sfg import LabelAwareAttention, SFGDecoder, SFGLoss, sfg_loss
 from .xdeepfm_pro import xDeepFMPro, xDeepFMProLight
 
 __all__ = [
     "xDeepFMPro",
     "xDeepFMProLight",
     "SFGDecoder",
+    "SFGLoss",
     "sfg_loss",
     "LabelAwareAttention",
     "AutoDisLayer",

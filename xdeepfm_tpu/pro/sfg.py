@@ -155,3 +155,8 @@ def sfg_loss(
         mse = jnp.mean((dense_preds - dense_targets) ** 2, axis=-1)
         total_dense = jnp.sum(mse * pos_mask) / num_positive
     return sparse_weight * total_sparse + dense_weight * total_dense
+
+
+# reference class name (``sfg_decoder.py:209-311``); here the loss is a pure
+# function of decoder outputs + targets
+SFGLoss = sfg_loss
