@@ -281,3 +281,30 @@ def test_a2a_training_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_a2a_bf16_comm_dtype(mesh, rng):
+    """bf16 wire dtype: values within bf16 tolerance, grads still flow."""
+    from xdeepfm_tpu.parallel.sharded_embedding import (
+        set_embedding_mode,
+        sharded_lookup_a2a,
+    )
+
+    rows, dim = 64, 8
+    table = jnp.asarray(rng.normal(size=(rows, dim)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, rows, size=(16, 3)).astype(np.int32))
+    expect = np.asarray(table)[np.asarray(ids)]
+    table_d = jax.device_put(table, NamedSharding(mesh, P("embed", None)))
+    ids_d = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    try:
+        set_embedding_mode("all_to_all", mesh, comm_dtype=jnp.bfloat16)
+        got = jax.jit(lambda t, i: sharded_lookup_a2a(t, i, mesh))(
+            table_d, ids_d
+        )
+        g = jax.jit(
+            jax.grad(lambda t: jnp.sum(sharded_lookup_a2a(t, ids_d, mesh) ** 2))
+        )(table_d)
+    finally:
+        set_embedding_mode("gspmd", None)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-2, atol=1e-2)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0

@@ -40,18 +40,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _MODE = "gspmd"
 _MESH: Optional[Mesh] = None
 _RAGGED: Optional[bool] = None  # None = auto (TPU yes, others no)
+_COMM_DTYPE = None  # None = full precision; jnp.bfloat16 halves row bytes
 
 
 def set_embedding_mode(mode: str, mesh: Optional[Mesh] = None,
-                       ragged: Optional[bool] = None):
+                       ragged: Optional[bool] = None, comm_dtype=None):
     """mode in {'gspmd', 'shard_map', 'all_to_all'}; the latter two require a
     mesh with ('data', 'embed') axes.  ragged forces/disables the
-    ragged_all_to_all transfer primitive (default: auto-detect by backend)."""
-    global _MODE, _MESH, _RAGGED
+    ragged_all_to_all transfer primitive (default: auto-detect by backend).
+    comm_dtype (all_to_all only): cast embedding rows / row cotangents to this
+    dtype for the wire trip (e.g. jnp.bfloat16 — half the ICI bytes; ids stay
+    int32, table storage and math stay fp32)."""
+    global _MODE, _MESH, _RAGGED, _COMM_DTYPE
     assert mode in ("gspmd", "shard_map", "all_to_all")
     _MODE = mode
     _MESH = mesh
     _RAGGED = ragged
+    _COMM_DTYPE = comm_dtype
 
 
 def _use_ragged():
@@ -203,10 +208,13 @@ def _a2a_fwd_core(table_shard, ids_local, embed_axis, E):
     rows_buf = jnp.take(table_shard, local_idx, axis=0)  # [E*cap, D]
 
     # 5. rows travel back, landing compactly at the requester's unique slots
+    # (optionally in a narrower wire dtype — halves ICI bytes at bf16)
     off_from = _sizes_exchange(in_off, embed_axis)  # where my block lands
+    if _COMM_DTYPE is not None:
+        rows_buf = rows_buf.astype(_COMM_DTYPE)
     urows = _exchange_from_blocks(
         rows_buf, recv_sizes, off_from, n, embed_axis, E, cap
-    )
+    ).astype(table_shard.dtype)
 
     # 6. expand unique rows to every occurrence and unsort
     rows_sorted = jnp.take(urows, uniq_pos, axis=0)
@@ -230,7 +238,11 @@ def _a2a_bwd(embed_axis, E, data_axis, res, g):
     g_sorted = jnp.take(g, order, axis=0)
     g_uniq = jnp.zeros((n, D), g.dtype).at[uniq_pos].add(g_sorted)
     # reverse route: unique cotangents travel to the owning shard
-    g_buf = _exchange_to_blocks(g_uniq, in_off, send_sizes, embed_axis, E, cap)
+    if _COMM_DTYPE is not None:
+        g_uniq = g_uniq.astype(_COMM_DTYPE)
+    g_buf = _exchange_to_blocks(
+        g_uniq, in_off, send_sizes, embed_axis, E, cap
+    ).astype(g.dtype)
     # mask block padding, scatter-add into the table shard's cotangent
     block_valid = (
         jnp.arange(cap)[None, :] < recv_sizes[:, None]
