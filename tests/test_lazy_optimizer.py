@@ -152,3 +152,53 @@ def test_embedding_optimizer_auto_small_tables_dense():
               embedding_optimizer="auto")
     assert not m._lazy_tables  # 256-row tables -> dense streaming
     m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+
+def test_gradient_split_tracked_reg_value_matches_full_scan():
+    """Split mode tracks sum(w^2) incrementally in opt_state['reg'] instead of
+    re-scanning the full table each step; the logged loss (which includes the
+    reg VALUE, reference basemodel.py:254-257) must match the dense-cotangent
+    lazy path's full-scan value over a multi-epoch run."""
+    x, y, cols = _varlen_data()
+    hist = {}
+    for mode in ("dense", "split"):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient=mode)
+        h = m.fit(x, y, batch_size=32, epochs=3, verbose=0, shuffle=False)
+        hist[mode] = h.history["loss"]
+        if mode == "split":
+            assert m.opt_state.get("reg"), "tracked reg scalars expected"
+            # tracked scalar == true full-table sum(w^2) after training
+            for path, val in m.opt_state["reg"].items():
+                tree = m.params
+                for seg in path.split("/"):
+                    tree = tree[seg]
+                np.testing.assert_allclose(
+                    float(val), float(np.sum(np.square(np.asarray(tree)))),
+                    rtol=1e-4, err_msg=path,
+                )
+    np.testing.assert_allclose(hist["dense"], hist["split"], rtol=1e-4)
+
+
+def test_gradient_split_checkpoint_roundtrip(tmp_path):
+    """opt_state['reg'] (tracked scalars) must survive save/load_checkpoint."""
+    x, y, cols = _varlen_data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+    m.compile("adam", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split")
+    m.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+    p = str(tmp_path / "c.bin")
+    m.save_checkpoint(p, epoch=1)
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+    m2.compile("adam", "binary_crossentropy", metrics=[],
+               embedding_optimizer="lazy", embedding_gradient="split")
+    assert m2.load_checkpoint(p) == 1
+    for path, val in m.opt_state["reg"].items():
+        np.testing.assert_allclose(
+            float(m2.opt_state["reg"][path]), float(val), err_msg=path
+        )
+    # resumed training continues identically
+    m.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+    m2.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+    np.testing.assert_allclose(m2.predict(x, 64), m.predict(x, 64), rtol=1e-6)

@@ -225,10 +225,12 @@ class BaseModel:
         autodiff at the lookup boundary — the step gathers the batch's touched
         rows into a compact [N, dim] block, differentiates w.r.t. that block,
         and the lazy optimizer scatters straight back into the table, so NO
-        full-table gradient/update pass ever runs (the only remaining
-        full-table read is the L2-reg value scan).  'auto' = split on a single
-        device, dense otherwise (a global sort over sharded ids would ride
-        collectives).
+        full-table gradient/update pass ever runs.  The L2-reg VALUE (which
+        only feeds the logged loss; its gradient applies row-wise) is tracked
+        incrementally as a sum(w^2) scalar in the optimizer state — zero
+        full-table reads per step for l2-only tables.  'auto' = split on a
+        single device, dense otherwise (a global sort over sharded ids would
+        ride collectives).
 
         matmul_precision: None (full fp32, reference parity) or 'bfloat16' —
         single-pass bf16 MXU for the tower matmuls (opt-in mixed precision).
@@ -353,6 +355,21 @@ class BaseModel:
                     path: lazy_init(flat[path]) for path in self._lazy_tables
                 },
             }
+            if getattr(self, "_lazy_split", False):
+                # Incremental L2-reg value tracking (gradient-split mode):
+                # carry sum(w^2) per lazy table as a scalar in the optimizer
+                # state, updated each step from the touched rows' before/after
+                # values — this removes the last full-table read from the
+                # split-mode train step.  Value-only: the reg GRADIENT is
+                # applied exactly row-wise regardless; this scalar feeds the
+                # logged loss (reference logs reg-in-loss, basemodel.py:254-257).
+                # l1-regularized tables keep the full scan (|w| deltas don't
+                # decompose as cheaply and l1 on embeddings is off by default).
+                self.opt_state["reg"] = {
+                    path: jnp.sum(jnp.square(flat[path].reshape(-1)))
+                    for path, (entries, l1, l2) in self._lazy_tables.items()
+                    if l2 > 0 and l1 == 0
+                }
         else:
             self.opt_state = self.optimizer.init(self.params)
 
@@ -461,13 +478,19 @@ class BaseModel:
             lazy_ids = {}
             compact_rows = {}
             if lazy_split:
+                tracked = opt_state.get("reg", {})
                 for path, (entries, l1, l2) in lazy_specs.items():
                     table = _tree_get(params, path)
                     ids = touched_ids(batch, entries)
                     lazy_ids[path] = ids
                     compact_rows[path] = jnp.take(table, ids, axis=0)
-                    # full-table reg VALUE (the one remaining full-table read;
-                    # its row-gradient is applied lazily below).  Flattened so
+                    if path in tracked:
+                        # incrementally-tracked sum(w^2) scalar — no table
+                        # read at all (updated below from touched rows).
+                        reg_const = reg_const + l2 * tracked[path]
+                        continue
+                    # full-table reg VALUE fallback (l1, or untracked); its
+                    # row-gradient is applied lazily below.  Flattened so
                     # XLA fuses square+reduce in one stage (a [R, 1] table
                     # otherwise materializes a full [R] row-sum temp).
                     flat_t = table.reshape(-1)
@@ -502,6 +525,7 @@ class BaseModel:
                 )
                 new_params = optax.apply_updates(params, updates)
                 new_lazy = {}
+                new_reg = {}
                 for path, (entries, l1, l2) in lazy_specs.items():
                     lstate = opt_state["lazy"][path]
                     if lazy_split:
@@ -532,13 +556,27 @@ class BaseModel:
                         g_rows = g_rows + 2.0 * l2 * p_rows
                     if l1 > 0:
                         g_rows = g_rows + l1 * jnp.sign(p_rows)
-                    p_new, lstate_new = lazy_row_update(
+                    p_new, lstate_new, p_rows_new = lazy_row_update(
                         p_arr, lstate, ids, g_rows, step + 1, lr=lazy_lr,
                         sorted_ids=ids_sorted,
                     )
                     new_params = _tree_set(new_params, path, p_new)
                     new_lazy[path] = lstate_new
+                    if lazy_split and path in opt_state.get("reg", {}):
+                        # incremental sum(w^2): duplicates write identical
+                        # values, so count each unique row once (is_first).
+                        delta = jnp.sum(
+                            jnp.where(
+                                is_first,
+                                jnp.sum(jnp.square(p_rows_new), axis=1)
+                                - jnp.sum(jnp.square(p_rows), axis=1),
+                                0.0,
+                            )
+                        )
+                        new_reg[path] = opt_state["reg"][path] + delta
                 new_opt_state = {"optax": new_optax_state, "lazy": new_lazy}
+                if "reg" in opt_state:
+                    new_opt_state["reg"] = new_reg
             else:
                 updates, new_opt_state = optimizer.update(
                     grads, opt_state, params

@@ -42,7 +42,12 @@ def _row_set(arr, ids, vals, sorted_ids=False):
 
 def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,
                    eps=1e-8, sorted_ids=False):
-    """Row-wise Adam on the touched rows only.  t is the 1-based step."""
+    """Row-wise Adam on the touched rows only.  t is the 1-based step.
+
+    Returns ``(p_new, state_new, p_rows_new)`` — the third element is the
+    updated row values in ``ids`` order, so callers (the gradient-split
+    engine's incremental L2-reg tracker) can compute per-step deltas without
+    an extra serialized row gather."""
     D = p.shape[1]
     mv_rows = state.at[ids].get(
         mode="clip", indices_are_sorted=sorted_ids
@@ -59,6 +64,7 @@ def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,
         _row_set(
             state, ids, jnp.concatenate([m_rows, v_rows], axis=1), sorted_ids
         ),
+        p_rows,
     )
 
 
@@ -76,6 +82,7 @@ def lazy_adagrad_rows(p, state, ids, g_rows, t, lr=0.01, eps=1e-10,
     return (
         _row_set(p, ids, p_rows, sorted_ids),
         _row_set(state, ids, acc_rows, sorted_ids),
+        p_rows,
     )
 
 
