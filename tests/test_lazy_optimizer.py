@@ -202,3 +202,33 @@ def test_gradient_split_checkpoint_roundtrip(tmp_path):
     m.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
     m2.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
     np.testing.assert_allclose(m2.predict(x, 64), m.predict(x, 64), rtol=1e-6)
+
+
+def test_embedding_optimizer_auto_large_tables_lazy(monkeypatch):
+    """auto picks lazy at/above the AUTO_LAZY_MIN_ROWS crossover (threshold
+    patched down so the test stays small)."""
+    import xdeepfm_tpu.basemodel as bm
+
+    x, y, cols = _data()
+    monkeypatch.setattr(bm, "AUTO_LAZY_MIN_ROWS", 64)
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile("adam", "binary_crossentropy", metrics=[],
+              embedding_optimizer="auto")
+    assert m._lazy_tables, "256-row stacked table >= patched threshold"
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+
+def test_embedding_optimizer_auto_non_string_optimizer_dense(monkeypatch):
+    """auto falls back to dense when the optimizer isn't a lazy-capable
+    string (e.g. a raw optax transform)."""
+    import optax
+
+    import xdeepfm_tpu.basemodel as bm
+
+    x, y, cols = _data()
+    monkeypatch.setattr(bm, "AUTO_LAZY_MIN_ROWS", 64)
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile(optax.adam(1e-3), "binary_crossentropy", metrics=[],
+              embedding_optimizer="auto")
+    assert not m._lazy_tables
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)

@@ -34,6 +34,12 @@ from .callbacks import CallbackList, History
 from .features import FeatureSchema
 from .metrics import DEVICE_METRICS, HOST_METRICS
 
+# embedding_optimizer='auto' crossover: stacked tables at or above this many
+# rows train lazily (row-sparse updates), below it dense streaming wins —
+# measured on v5e (BASELINE.md "Embedding-optimizer regimes"); module-level so
+# deployments on other HBM/bandwidth envelopes (and tests) can tune it.
+AUTO_LAZY_MIN_ROWS = 30_000_000
+
 
 def _loss_fn_single(name):
     """Sum-reduced masked losses (reference ``basemodel.py:463-481`` maps
@@ -270,7 +276,7 @@ class BaseModel:
             )
             embedding_optimizer = (
                 "lazy"
-                if max_rows >= 30_000_000
+                if max_rows >= AUTO_LAZY_MIN_ROWS
                 and isinstance(optimizer, str)
                 and optimizer in _LO
                 else "dense"
@@ -365,8 +371,12 @@ class BaseModel:
                 # logged loss (reference logs reg-in-loss, basemodel.py:254-257).
                 # l1-regularized tables keep the full scan (|w| deltas don't
                 # decompose as cheaply and l1 on embeddings is off by default).
+                # Jitted: an eager reshape/sum on a [65M, 10] table triggers a
+                # layout copy into (8,128)-tiled padding — 33 GB for 2.6 GB of
+                # data — whereas inside XLA the square+reduce fuses in place.
+                sumsq = jax.jit(lambda t: jnp.sum(jnp.square(t)))
                 self.opt_state["reg"] = {
-                    path: jnp.sum(jnp.square(flat[path].reshape(-1)))
+                    path: sumsq(flat[path])
                     for path, (entries, l1, l2) in self._lazy_tables.items()
                     if l2 > 0 and l1 == 0
                 }
