@@ -1,0 +1,216 @@
+"""Out-of-core training: fit_stream + iter_criteo_batches.
+
+The reference materializes the full dataset in host memory
+(``basemodel.py:155-198``); fit_stream trains from a batch iterator instead.
+It must reproduce fit()'s trajectory exactly when fed the same batches.
+"""
+
+import numpy as np
+
+from xdeepfm_tpu.features import DenseFeat, SparseFeat
+from xdeepfm_tpu.models import DeepFM
+
+
+def _data(n=300, vocab=40, seed=0):
+    rng = np.random.default_rng(seed)
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(3)}
+    x["I0"] = rng.uniform(0, 1, n).astype(np.float32)
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, 8) for i in range(3)] + [DenseFeat("I0")]
+    return x, y, cols
+
+
+def _batches(x, y, bs):
+    n = len(y)
+    for i in range(0, n, bs):
+        yield {k: v[i : i + bs] for k, v in x.items()}, y[i : i + bs]
+
+
+def _model(cols, seed=5):
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=seed)
+    m.compile("adam", "binary_crossentropy", metrics=["auc"])
+    return m
+
+
+def test_fit_stream_matches_fit():
+    """Same batches (incl. padded short tail) => identical params/history."""
+    x, y, cols = _data()
+    bs = 64  # 300 rows -> 4 full batches + short tail of 44
+
+    m1 = _model(cols)
+    h1 = m1.fit(x, y, batch_size=bs, epochs=2, verbose=2, shuffle=False)
+
+    m2 = _model(cols)
+    h2 = m2.fit_stream(
+        lambda epoch: _batches(x, y, bs), epochs=2, verbose=2
+    )
+
+    import jax
+
+    flat1 = jax.tree_util.tree_flatten_with_path(m1.params)[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(m2.params)[0])
+    for path, w in flat1:
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(flat2[path]), rtol=1e-6, atol=1e-8,
+            err_msg=str(path),
+        )
+    np.testing.assert_allclose(
+        h1.history["loss"], h2.history["loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(h1.history["auc"], h2.history["auc"], rtol=1e-6)
+
+
+def test_fit_stream_multi_dispatch_and_validation():
+    x, y, cols = _data()
+    m = _model(cols)
+    h = m.fit_stream(
+        lambda e: _batches(x, y, 50),
+        epochs=3,
+        verbose=0,
+        steps_per_dispatch=4,
+        validation_data=(x, y),
+    )
+    assert len(h.history["loss"]) == 3
+    assert h.history["loss"][-1] < h.history["loss"][0]
+    assert h.history["val_auc"][-1] > 0.8
+
+
+def test_fit_stream_steps_per_epoch_cap():
+    x, y, cols = _data()
+    m = _model(cols)
+    seen = []
+
+    def gen(epoch):
+        for xb, yb in _batches(x, y, 50):
+            seen.append(len(yb))
+            yield xb, yb
+
+    m.fit_stream(gen, epochs=1, verbose=0, steps_per_epoch=3)
+    assert len(seen) == 3
+
+
+def test_fit_stream_callbacks_early_stopping():
+    from xdeepfm_tpu.callbacks import EarlyStopping
+
+    x, y, cols = _data()
+    m = _model(cols)
+    es = EarlyStopping(monitor="val_auc", patience=0, mode="max")
+    h = m.fit_stream(
+        lambda e: _batches(x, y, 64),
+        epochs=20,
+        verbose=0,
+        validation_data=(x, y),
+        callbacks=[es],
+    )
+    assert len(h.history["loss"]) < 20  # stopped early
+
+
+def test_iter_criteo_batches_matches_bulk(tmp_path):
+    """Streamed preprocessing == bulk read_criteo_like + prepare_features."""
+    from xdeepfm_tpu.data import (
+        CRITEO_DENSE,
+        CRITEO_SPARSE,
+        iter_criteo_batches,
+        prepare_features,
+        read_criteo_like,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 157
+    path = tmp_path / "train.txt"
+    rows = []
+    header = ["label"] + CRITEO_DENSE + CRITEO_SPARSE
+    rows.append("\t".join(header))
+    for i in range(n):
+        label = str(rng.integers(0, 2))
+        dense = [
+            "" if rng.uniform() < 0.1 else f"{rng.uniform(0, 100):.3f}"
+            for _ in range(13)
+        ]
+        sparse = [
+            "" if rng.uniform() < 0.1 else f"v{rng.integers(0, 20)}"
+            for _ in range(26)
+        ]
+        rows.append("\t".join([label] + dense + sparse))
+    path.write_text("\n".join(rows))
+
+    df = read_criteo_like(str(path))
+    df_prep, encoders, scaler = prepare_features(
+        df, CRITEO_SPARSE, CRITEO_DENSE, fit_df=df
+    )
+
+    got_x = {name: [] for name in CRITEO_SPARSE + CRITEO_DENSE}
+    got_y = []
+    sizes = []
+    for xb, yb in iter_criteo_batches(
+        str(path), CRITEO_SPARSE, CRITEO_DENSE, encoders, scaler,
+        batch_size=32, chunksize=50,
+    ):
+        sizes.append(len(yb))
+        for k in got_x:
+            got_x[k].append(xb[k])
+        got_y.append(yb)
+
+    assert sizes == [32, 32, 32, 32, 29]
+    np.testing.assert_array_equal(
+        np.concatenate(got_y), df_prep["label"].values.astype(np.float32)
+    )
+    for name in CRITEO_SPARSE:
+        np.testing.assert_array_equal(
+            np.concatenate(got_x[name]), df_prep[name].values
+        )
+    for name in CRITEO_DENSE:
+        np.testing.assert_allclose(
+            np.concatenate(got_x[name]), df_prep[name].values, rtol=1e-6
+        )
+
+
+def test_fit_stream_from_file(tmp_path):
+    """End-to-end: stream a criteo-like file through iter_criteo_batches into
+    fit_stream (two epochs via callable-per-epoch)."""
+    from xdeepfm_tpu.data import (
+        CRITEO_DENSE,
+        CRITEO_SPARSE,
+        build_feature_columns,
+        iter_criteo_batches,
+        prepare_features,
+        read_criteo_like,
+    )
+    from xdeepfm_tpu.models import xDeepFM
+
+    rng = np.random.default_rng(3)
+    n = 200
+    path = tmp_path / "train.txt"
+    header = ["label"] + CRITEO_DENSE + CRITEO_SPARSE
+    rows = ["\t".join(header)]
+    for i in range(n):
+        cat0 = rng.integers(0, 6)
+        label = str(int(cat0 % 2))
+        dense = [f"{rng.uniform(0, 1):.4f}" for _ in range(13)]
+        sparse = [f"v{cat0}"] + [
+            f"v{rng.integers(0, 10)}" for _ in range(25)
+        ]
+        rows.append("\t".join([label] + dense + sparse))
+    path.write_text("\n".join(rows))
+
+    df = read_criteo_like(str(path))
+    df_prep, encoders, scaler = prepare_features(
+        df, CRITEO_SPARSE, CRITEO_DENSE, fit_df=df
+    )
+    linear_cols, dnn_cols, _ = build_feature_columns(
+        df_prep, CRITEO_SPARSE, CRITEO_DENSE, embedding_dim=4
+    )
+    m = xDeepFM(
+        linear_cols, dnn_cols, dnn_hidden_units=(8,), cin_layer_size=(4,),
+        seed=9,
+    )
+    m.compile("adam", "binary_crossentropy", metrics=["auc"])
+    h = m.fit_stream(
+        lambda e: iter_criteo_batches(
+            str(path), CRITEO_SPARSE, CRITEO_DENSE, encoders, scaler,
+            batch_size=64, chunksize=64,
+        ),
+        epochs=4,
+        verbose=2,
+    )
+    assert h.history["auc"][-1] > 0.9

@@ -838,6 +838,193 @@ class BaseModel:
         callbacks.on_train_end()
         return self.history
 
+    def fit_stream(
+        self,
+        generator,
+        epochs=1,
+        verbose=1,
+        initial_epoch=0,
+        validation_data=None,
+        callbacks=None,
+        steps_per_dispatch=1,
+        steps_per_epoch=None,
+    ):
+        """Out-of-core training from a batch stream.
+
+        The reference (and :meth:`fit`) materializes the whole dataset in host
+        memory (``basemodel.py:155-198`` builds one ``[N, W]`` matrix); this
+        streams instead: ``generator`` yields ``(x, y)`` batches — ``x`` a
+        feature dict, ``y`` labels — of a fixed batch size (the final batch
+        may be shorter; it is padded + masked like fit's tail batch).  Pair
+        with :func:`data.iter_criteo_batches` to train on files larger than
+        host RAM.
+
+        ``generator`` may be a callable ``epoch -> iterable`` (fresh stream
+        per epoch) or a re-iterable; a bare one-shot iterator only supports
+        ``epochs=1``.  Epoch logs, callbacks, sum-loss normalization, and the
+        train-metric semantics match :meth:`fit` exactly.  ``steps_per_epoch``
+        optionally caps (or sizes the log line for) each epoch; by default an
+        epoch is one full pass of the stream.
+        """
+        assert self._compiled, "call compile() before fit_stream()"
+        do_validation = bool(validation_data)
+        if do_validation:
+            val_x, val_y = validation_data[0], validation_data[1]
+            val_batch = self._pack_x(val_x)
+            val_y = np.asarray(val_y, dtype=np.float32)
+
+        callbacks = CallbackList((callbacks or []) + [self.history])
+        callbacks.set_model(self)
+        callbacks.on_train_begin()
+        self.stop_training = False
+        if verbose > 0:
+            print(
+                "Train on stream, validate on {0} samples".format(
+                    len(val_y) if do_validation else 0
+                )
+            )
+
+        batch_size = None
+        global_step = 0
+        for epoch in range(initial_epoch, epochs):
+            callbacks.on_epoch_begin(epoch)
+            epoch_logs = {}
+            start_time = time.time()
+            total_loss_epoch = 0.0
+            n_seen = 0
+            n_steps = 0
+            train_result: Dict[str, List[float]] = {}
+            pending = []  # (totals, mvals) device values, sync at epoch end
+            group = []  # buffered (xb, yb, mask) for multi-step dispatch
+
+            def prep(xy):
+                nonlocal batch_size, n_seen
+                x, yb = xy
+                xb = self._pack_x(x)
+                yb = np.asarray(yb, dtype=np.float32)
+                if yb.ndim == 1:
+                    yb = yb[:, None]
+                bs = len(yb)
+                if batch_size is None:
+                    batch_size = bs
+                if bs > batch_size:
+                    raise ValueError(
+                        f"stream batch of {bs} rows exceeds the stream's "
+                        f"batch size {batch_size}"
+                    )
+                n_seen += bs
+                mask = np.ones((batch_size,), np.float32)
+                if bs < batch_size:
+                    pad = batch_size - bs
+                    mask[bs:] = 0.0
+                    xb = {
+                        k: np.concatenate(
+                            [v, np.repeat(v[-1:], pad, axis=0)]
+                        )
+                        for k, v in xb.items()
+                    }
+                    yb = np.concatenate(
+                        [yb, np.zeros((pad,) + yb.shape[1:], yb.dtype)]
+                    )
+                return xb, yb, mask
+
+            def dispatch(group):
+                nonlocal global_step, n_steps
+                if len(group) == 1:
+                    xb, yb, mask = group[0]
+                    xb = {k: jnp.asarray(v) for k, v in xb.items()}
+                    (
+                        self.params, self.batch_stats, self.opt_state,
+                        totals, loss, mvals,
+                    ) = self._train_step(
+                        self.params, self.batch_stats, self.opt_state,
+                        xb, jnp.asarray(yb), jnp.asarray(mask), global_step,
+                    )
+                else:
+                    xb = {
+                        key: jnp.asarray(
+                            np.stack([g[0][key] for g in group])
+                        )
+                        for key in group[0][0]
+                    }
+                    yb = jnp.asarray(np.stack([g[1] for g in group]))
+                    mb = jnp.asarray(np.stack([g[2] for g in group]))
+                    (
+                        self.params, self.batch_stats, self.opt_state,
+                        totals, mvals,
+                    ) = self._train_step_multi(
+                        self.params, self.batch_stats, self.opt_state,
+                        xb, yb, mb, global_step,
+                    )
+                pending.append(
+                    (
+                        totals,
+                        mvals
+                        if verbose > 0
+                        else {
+                            k: v
+                            for k, v in mvals.items()
+                            if k.startswith("log:")
+                        },
+                    )
+                )
+                global_step += len(group)
+                n_steps += len(group)
+
+            stream = generator(epoch) if callable(generator) else generator
+            for xy in stream:
+                group.append(prep(xy))
+                if len(group) == steps_per_dispatch:
+                    dispatch(group)
+                    group = []
+                if steps_per_epoch and n_steps + len(group) >= steps_per_epoch:
+                    break
+            if group:
+                dispatch(group)
+
+            for totals, mvals in pending:
+                total_loss_epoch += float(np.sum(np.asarray(totals)))
+                for name, v in mvals.items():
+                    train_result.setdefault(name, []).extend(
+                        np.atleast_1d(np.asarray(v)).tolist()
+                    )
+
+            epoch_logs["loss"] = (
+                total_loss_epoch / n_seen if n_seen else float("nan")
+            )
+            for name, result in train_result.items():
+                key = name[4:] if name.startswith("log:") else name
+                epoch_logs[key] = float(np.sum(result) / max(n_steps, 1))
+
+            if do_validation:
+                eval_result = self._evaluate_packed(
+                    val_batch, val_y, batch_size or 256
+                )
+                for name, result in eval_result.items():
+                    epoch_logs["val_" + name] = result
+
+            if verbose > 0:
+                epoch_time = int(time.time() - start_time)
+                print("Epoch {0}/{1}".format(epoch + 1, epochs))
+                eval_str = "{0}s - {1} samples - loss: {2: .4f}".format(
+                    epoch_time, n_seen, epoch_logs["loss"]
+                )
+                for name in self.metrics:
+                    eval_str += " - " + name + ": {0: .4f}".format(
+                        epoch_logs[name]
+                    )
+                if do_validation:
+                    for name in self.metrics:
+                        eval_str += " - val_" + name + ": {0: .4f}".format(
+                            epoch_logs["val_" + name]
+                        )
+                print(eval_str)
+            callbacks.on_epoch_end(epoch, epoch_logs)
+            if self.stop_training:
+                break
+        callbacks.on_train_end()
+        return self.history
+
     # ------------------------------------------------------ evaluate/predict
 
     def evaluate(self, x, y, batch_size=256):

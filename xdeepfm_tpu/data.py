@@ -197,3 +197,81 @@ def train_test_split(df, test_size: float, random_state: int, stratify=None):
     test_mask = np.zeros(n, dtype=bool)
     test_mask[test_idx] = True
     return df.iloc[~test_mask], df.iloc[test_mask]
+
+
+def iter_criteo_batches(
+    path: str,
+    sparse_features: List[str],
+    dense_features: List[str],
+    encoders: Dict[str, SafeLabelEncoder],
+    scaler: MinMaxScaler,
+    batch_size: int,
+    chunksize: int = 200_000,
+    with_label: bool = True,
+):
+    """Stream a criteo-like file as exactly-``batch_size`` ``(x, y)`` batches
+    without loading it into memory (out-of-core training via
+    ``BaseModel.fit_stream``; the reference reads the whole CSV into pandas,
+    ``xdftrain.py:125-162``).
+
+    Encoders/scaler must already be fit (e.g. on a prior pass or a sample);
+    preprocessing per chunk is identical to :func:`prepare_features`.  The
+    final batch may be shorter.  Separator handling mirrors
+    :func:`read_criteo_like`.
+    """
+    import pandas as pd
+
+    with open(path, "r", encoding="utf-8", errors="ignore") as f:
+        header_line = f.readline().strip()
+        data_line = f.readline().strip()
+    header_sep = "\t" if ("\t" in header_line and "," not in header_line) else ","
+    data_sep = "\t" if "\t" in data_line else ","
+    header_cols = header_line.split(header_sep)
+    if all(c in header_cols for c in CRITEO_COLUMNS):
+        if header_sep == data_sep:
+            reader = pd.read_csv(path, sep=data_sep, chunksize=chunksize)
+        else:
+            reader = pd.read_csv(
+                path, sep=data_sep, skiprows=1, header=None,
+                names=CRITEO_COLUMNS, chunksize=chunksize,
+            )
+    else:
+        reader = pd.read_csv(
+            path, sep=data_sep, header=None, names=CRITEO_COLUMNS,
+            chunksize=chunksize,
+        )
+
+    feature_names = list(sparse_features) + list(dense_features)
+    pend_x = {name: [] for name in feature_names}
+    pend_y: List[np.ndarray] = []
+    pending = 0
+
+    def drain(final=False):
+        nonlocal pending
+        while pending >= batch_size or (final and pending):
+            take = min(batch_size, pending)
+            cat = {k: np.concatenate(v) if len(v) > 1 else v[0]
+                   for k, v in pend_x.items()}
+            yc = np.concatenate(pend_y) if len(pend_y) > 1 else pend_y[0]
+            xb = {k: v[:take] for k, v in cat.items()}
+            yb = yc[:take]
+            for k in pend_x:
+                pend_x[k] = [cat[k][take:]] if pending > take else []
+            pend_y[:] = [yc[take:]] if pending > take else []
+            pending -= take
+            yield xb, yb
+
+    for chunk in reader:
+        df, _, _ = prepare_features(
+            chunk, sparse_features, dense_features,
+            encoders=encoders, scaler=scaler,
+        )
+        for name in feature_names:
+            pend_x[name].append(df[name].values)
+        if with_label:
+            pend_y.append(df["label"].values.astype(np.float32))
+        else:
+            pend_y.append(np.zeros(len(df), np.float32))
+        pending += len(df)
+        yield from drain()
+    yield from drain(final=True)
