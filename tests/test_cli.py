@@ -129,3 +129,65 @@ def test_safe_label_encoder_unknown():
     le = SafeLabelEncoder.fit(pd.Series(["a", "b", "c", "a"]))
     out = le.transform(pd.Series(["b", "zzz", "a"]))
     assert out.tolist() == [2, 0, 1]
+
+
+def test_xdftrain_streaming_eval(criteo_file, tmp_path):
+    """--streaming: out-of-core preprocessor fit + fit_stream training path
+    produces the same artifact set and sane metrics."""
+    from xdeepfm_tpu.cli.xdftrain import main
+
+    out = str(tmp_path / "out_stream")
+    log = main(
+        [
+            "--data_path", criteo_file, "--eval_path", criteo_file,
+            "--out_dir", out, "--mode", "eval", "--epochs", "1",
+            "--batch_size", "128", "--embedding_dim", "4", "--verbose", "0",
+            "--streaming", "--stream_chunksize", "100",
+        ]
+    )
+    for artifact in (
+        "history.json",
+        "preprocess.pkl",
+        "training_log.json",
+        "xdeepfm_best.weights",
+        "xdeepfm_weights.bin",
+    ):
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+    assert 0.0 <= log["results"]["eval_auc"] <= 1.0
+    assert log["data_info"]["train_samples"] == 400
+
+
+def test_xdftrain_streaming_eval_requires_eval_path(criteo_file, tmp_path):
+    from xdeepfm_tpu.cli.xdftrain import main
+
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--data_path", criteo_file,
+                "--out_dir", str(tmp_path / "o"), "--mode", "eval",
+                "--epochs", "1", "--verbose", "0", "--streaming",
+            ]
+        )
+
+
+def test_xdftrain_streaming_final(criteo_file, tmp_path):
+    from xdeepfm_tpu.cli.xdftrain import main
+
+    out = str(tmp_path / "out_stream_final")
+    main(
+        [
+            "--data_path", criteo_file, "--out_dir", out, "--mode", "final",
+            "--epochs", "1", "--batch_size", "128", "--embedding_dim", "4",
+            "--verbose", "0", "--streaming", "--stream_chunksize", "100",
+        ]
+    )
+    for artifact in (
+        "history_full.json",
+        "preprocess.pkl",
+        "training_log_full.json",
+        "xdeepfm_full_weights.bin",
+    ):
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+    with open(os.path.join(out, "training_log_full.json")) as f:
+        saved = json.load(f)
+    assert saved["data_info"]["total_samples"] == 400

@@ -82,6 +82,17 @@ def base_arg_parser() -> argparse.ArgumentParser:
         help="'lazy' = row-sparse table updates (SparseAdam-style) for large "
         "vocabularies; 'auto' picks by table size (>=30M rows -> lazy)",
     )
+    p.add_argument(
+        "--streaming", action="store_true",
+        help="out-of-core training: fit preprocessors in one streaming pass "
+        "and train via fit_stream without loading the train file into "
+        "memory (eval mode requires --eval_path; batches stream in file "
+        "order instead of shuffling)",
+    )
+    p.add_argument(
+        "--stream_chunksize", type=int, default=200_000,
+        help="rows per pandas chunk in --streaming mode",
+    )
     return p
 
 
@@ -176,16 +187,94 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
     target = "label"
 
     use_native = getattr(args, "use_native_parser", False)
+    streaming = getattr(args, "streaming", False)
     if use_native:
         from .. import native as native_mod
 
         if not native_mod.available():
             print("[WARN] native parser unavailable; falling back to pandas")
             use_native = False
+    if streaming and use_native:
+        print("[WARN] --streaming uses the pandas chunk reader; ignoring "
+              "--use_native_parser")
+        use_native = False
 
     test_x = None
     n_test = 0
-    if use_native:
+    stream_gen = None
+    if streaming:
+        # out-of-core: one streaming pass fits the preprocessors; the eval
+        # set (small) loads in memory for exact pooled metrics; train batches
+        # stream from disk each epoch (file order, no shuffle).
+        from ..data import (
+            extend_preprocessors,
+            feature_columns_from_encoders,
+            fit_preprocessors_streaming,
+            iter_criteo_batches,
+        )
+
+        if not args.eval_path:
+            raise SystemExit(
+                "--streaming eval mode requires --eval_path (a random "
+                "validation split would need the full train set in memory)"
+            )
+        print(f"[INFO] Streaming preprocessor fit over: {args.data_path}")
+        encoders, scaler, stats = fit_preprocessors_streaming(
+            args.data_path, sparse_features, dense_features,
+            chunksize=args.stream_chunksize,
+        )
+        if stats["label_nan"] > 0:
+            print(
+                f"[WARN] Found {stats['label_nan']} NaN labels, filling with 0"
+            )
+        train_pos_ratio = stats["pos_ratio"]
+        print(
+            f"[DEBUG] Train samples: {stats['n']}, positive ratio: "
+            f"{train_pos_ratio:.4f}"
+        )
+        eval_df, _ = _load_labeled(args.eval_path, "Eval")
+        # encoders fit on train+eval combined, as in the bulk path
+        # (xdftrain.py:372-383)
+        extend_preprocessors(
+            encoders, scaler, eval_df, sparse_features, dense_features
+        )
+        linear_cols, dnn_cols, feature_names = feature_columns_from_encoders(
+            encoders, sparse_features, dense_features,
+            embedding_dim=args.embedding_dim,
+        )
+        eval_dfp, _, _ = prepare_features(
+            eval_df, sparse_features, dense_features, encoders=encoders,
+            scaler=scaler,
+        )
+        eval_x = build_model_input(eval_dfp, feature_names)
+        y_eval = eval_dfp[[target]].values
+        n_train = stats["n"]
+        if args.test_path:
+            print(f"[INFO] Loading test data from: {args.test_path}")
+            test_df = read_criteo_test(
+                args.test_path, sparse_features, dense_features
+            )
+            test_dfp, _, _ = prepare_features(
+                test_df, sparse_features, dense_features, encoders=encoders,
+                scaler=scaler,
+            )
+            test_x = build_model_input(test_dfp, feature_names)
+            n_test = len(test_dfp)
+
+        def stream_gen(epoch):
+            return iter_criteo_batches(
+                args.data_path, sparse_features, dense_features, encoders,
+                scaler, args.batch_size, chunksize=args.stream_chunksize,
+            )
+
+        preprocess_payload = {
+            "encoders": encoders,
+            "scaler": scaler,
+            "sparse_features": sparse_features,
+            "dense_features": dense_features,
+            "feature_names": feature_names,
+        }
+    elif use_native:
         print("[INFO] Using native C++ criteo parser")
         (
             parser, scaler, cols, feature_names,
@@ -292,12 +381,20 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         )
 
     print("\n[INFO] Starting training...")
-    history = model.fit(
-        train_x, y_train, batch_size=args.batch_size, epochs=args.epochs,
-        verbose=args.verbose, validation_data=(eval_x, y_eval), shuffle=True,
-        callbacks=callbacks,
-        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
-    )
+    if stream_gen is not None:
+        history = model.fit_stream(
+            stream_gen, epochs=args.epochs, verbose=args.verbose,
+            validation_data=(eval_x, y_eval), callbacks=callbacks,
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        )
+    else:
+        n_train = len(y_train)
+        history = model.fit(
+            train_x, y_train, batch_size=args.batch_size, epochs=args.epochs,
+            verbose=args.verbose, validation_data=(eval_x, y_eval),
+            shuffle=True, callbacks=callbacks,
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        )
 
     if os.path.exists(ckpt_path):
         model.load_weights(ckpt_path)
@@ -345,7 +442,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
             "train_path": args.data_path,
             "eval_path": args.eval_path,
             "test_path": args.test_path,
-            "train_samples": len(y_train),
+            "train_samples": n_train,
             "eval_samples": len(y_eval),
             "test_samples": n_test,
             "train_positive_ratio": train_pos_ratio,
@@ -398,27 +495,59 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
 
     sparse_features = list(CRITEO_SPARSE)
     dense_features = list(CRITEO_DENSE)
-    df, pos_ratio = _load_labeled(args.data_path, "Full")
-    df, encoders, scaler = prepare_features(
-        df, sparse_features, dense_features, fit_df=df
-    )
-    linear_cols, dnn_cols, feature_names = build_feature_columns(
-        df, sparse_features, dense_features, embedding_dim=args.embedding_dim
-    )
-    x_full = build_model_input(df, feature_names)
-    y_full = df[["label"]].values
+    streaming = getattr(args, "streaming", False)
+    if streaming:
+        from ..data import (
+            feature_columns_from_encoders,
+            fit_preprocessors_streaming,
+            iter_criteo_batches,
+        )
+
+        print(f"[INFO] Streaming preprocessor fit over: {args.data_path}")
+        encoders, scaler, stats = fit_preprocessors_streaming(
+            args.data_path, sparse_features, dense_features,
+            chunksize=args.stream_chunksize,
+        )
+        pos_ratio = stats["pos_ratio"]
+        n_full = stats["n"]
+        linear_cols, dnn_cols, feature_names = feature_columns_from_encoders(
+            encoders, sparse_features, dense_features,
+            embedding_dim=args.embedding_dim,
+        )
+    else:
+        df, pos_ratio = _load_labeled(args.data_path, "Full")
+        df, encoders, scaler = prepare_features(
+            df, sparse_features, dense_features, fit_df=df
+        )
+        linear_cols, dnn_cols, feature_names = build_feature_columns(
+            df, sparse_features, dense_features,
+            embedding_dim=args.embedding_dim,
+        )
+        x_full = build_model_input(df, feature_names)
+        y_full = df[["label"]].values
+        n_full = len(df)
 
     # final mode: metrics=[] to dodge single-class batch failures
     # (xdftrain.py:609-623)
     model = build_model(args, linear_cols, dnn_cols, final_mode=True)
 
     callbacks = [LogWriter(log_dir=tb_log_dir)]
-    history = model.fit(
-        x_full, y_full, batch_size=args.batch_size, epochs=args.epochs,
-        verbose=args.verbose, validation_split=0.0, shuffle=True,
-        callbacks=callbacks,
-        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
-    )
+    if streaming:
+        history = model.fit_stream(
+            lambda epoch: iter_criteo_batches(
+                args.data_path, sparse_features, dense_features, encoders,
+                scaler, args.batch_size, chunksize=args.stream_chunksize,
+            ),
+            epochs=args.epochs, verbose=args.verbose, callbacks=callbacks,
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        )
+    else:
+        history = model.fit(
+            x_full, y_full, batch_size=args.batch_size, epochs=args.epochs,
+            verbose=args.verbose, validation_split=0.0, shuffle=True,
+            callbacks=callbacks,
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        )
     training_time = time.time() - start_time
     print(
         f"\n[Final] Training time: {training_time:.2f} seconds "
@@ -447,7 +576,7 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
         "training_time_seconds": training_time,
         "data_info": {
             "data_path": args.data_path,
-            "total_samples": len(df),
+            "total_samples": n_full,
             "positive_ratio": pos_ratio,
         },
         "model_config": dict(

@@ -219,27 +219,7 @@ def iter_criteo_batches(
     final batch may be shorter.  Separator handling mirrors
     :func:`read_criteo_like`.
     """
-    import pandas as pd
-
-    with open(path, "r", encoding="utf-8", errors="ignore") as f:
-        header_line = f.readline().strip()
-        data_line = f.readline().strip()
-    header_sep = "\t" if ("\t" in header_line and "," not in header_line) else ","
-    data_sep = "\t" if "\t" in data_line else ","
-    header_cols = header_line.split(header_sep)
-    if all(c in header_cols for c in CRITEO_COLUMNS):
-        if header_sep == data_sep:
-            reader = pd.read_csv(path, sep=data_sep, chunksize=chunksize)
-        else:
-            reader = pd.read_csv(
-                path, sep=data_sep, skiprows=1, header=None,
-                names=CRITEO_COLUMNS, chunksize=chunksize,
-            )
-    else:
-        reader = pd.read_csv(
-            path, sep=data_sep, header=None, names=CRITEO_COLUMNS,
-            chunksize=chunksize,
-        )
+    reader = _criteo_chunk_reader(path, chunksize)
 
     feature_names = list(sparse_features) + list(dense_features)
     pend_x = {name: [] for name in feature_names}
@@ -275,3 +255,129 @@ def iter_criteo_batches(
         pending += len(df)
         yield from drain()
     yield from drain(final=True)
+
+
+def _criteo_chunk_reader(path: str, chunksize: int):
+    """Chunked criteo-like reader with :func:`read_criteo_like`'s separator
+    handling (mixed header/data separators, headerless files)."""
+    import pandas as pd
+
+    with open(path, "r", encoding="utf-8", errors="ignore") as f:
+        header_line = f.readline().strip()
+        data_line = f.readline().strip()
+    header_sep = "\t" if ("\t" in header_line and "," not in header_line) else ","
+    data_sep = "\t" if "\t" in data_line else ","
+    header_cols = header_line.split(header_sep)
+    if all(c in header_cols for c in CRITEO_COLUMNS):
+        if header_sep == data_sep:
+            return pd.read_csv(path, sep=data_sep, chunksize=chunksize)
+        return pd.read_csv(
+            path, sep=data_sep, skiprows=1, header=None,
+            names=CRITEO_COLUMNS, chunksize=chunksize,
+        )
+    return pd.read_csv(
+        path, sep=data_sep, header=None, names=CRITEO_COLUMNS,
+        chunksize=chunksize,
+    )
+
+
+def fit_preprocessors_streaming(
+    path: str,
+    sparse_features: List[str],
+    dense_features: List[str],
+    chunksize: int = 200_000,
+):
+    """One streaming pass fitting the preprocessors without loading the file:
+    SafeLabelEncoder vocabularies (first-appearance order — identical to
+    fitting on the fully-loaded frame) and MinMaxScaler min/max (after the
+    same ``fillna(0)`` the bulk path applies, ``xdftrain.py:192-237``).
+
+    Returns ``(encoders, scaler, stats)`` with
+    ``stats = {"n", "pos", "pos_ratio", "label_nan"}``.
+    """
+    import pandas as pd
+
+    mappings: Dict[str, Dict[str, int]] = {f: {} for f in sparse_features}
+    data_min = None
+    data_max = None
+    n = 0
+    pos = 0
+    label_nan = 0
+    for chunk in _criteo_chunk_reader(path, chunksize):
+        chunk[sparse_features] = chunk[sparse_features].fillna("-1")
+        chunk[dense_features] = chunk[dense_features].fillna(0)
+        for feat in sparse_features:
+            m = mappings[feat]
+            for v in pd.unique(chunk[feat].astype(str)):
+                if v not in m:
+                    m[v] = len(m) + 1
+        X = chunk[dense_features].astype("float64").values
+        cmin = np.nanmin(X, axis=0)
+        cmax = np.nanmax(X, axis=0)
+        data_min = cmin if data_min is None else np.minimum(data_min, cmin)
+        data_max = cmax if data_max is None else np.maximum(data_max, cmax)
+        labels = pd.to_numeric(chunk["label"], errors="coerce")
+        label_nan += int(labels.isna().sum())
+        labels = labels.fillna(0)
+        n += len(chunk)
+        pos += int((labels == 1).sum())
+    encoders = {
+        feat: SafeLabelEncoder(mapping=mappings[feat])
+        for feat in sparse_features
+    }
+    scaler = MinMaxScaler(data_min_=data_min, data_max_=data_max)
+    stats = {
+        "n": n,
+        "pos": pos,
+        "pos_ratio": (pos / n) if n else 0.0,
+        "label_nan": label_nan,
+    }
+    return encoders, scaler, stats
+
+
+def extend_preprocessors(
+    encoders: Dict[str, SafeLabelEncoder],
+    scaler: MinMaxScaler,
+    df,
+    sparse_features: List[str],
+    dense_features: List[str],
+):
+    """Extend fitted preprocessors with another frame, in place — matches
+    fitting on the concatenation (the eval CLI fits encoders on train+eval
+    combined, ``xdftrain.py:372-383``): unseen categories append in
+    first-appearance order; scaler min/max widen elementwise."""
+    import pandas as pd
+
+    df = df.copy()
+    df[sparse_features] = df[sparse_features].fillna("-1")
+    df[dense_features] = df[dense_features].fillna(0)
+    for feat in sparse_features:
+        m = encoders[feat].mapping
+        for v in pd.unique(df[feat].astype(str)):
+            if v not in m:
+                m[v] = len(m) + 1
+    X = df[dense_features].astype("float64").values
+    scaler.data_min_ = np.minimum(scaler.data_min_, np.nanmin(X, axis=0))
+    scaler.data_max_ = np.maximum(scaler.data_max_, np.nanmax(X, axis=0))
+    return encoders, scaler
+
+
+def feature_columns_from_encoders(
+    encoders: Dict[str, SafeLabelEncoder],
+    sparse_features: List[str],
+    dense_features: List[str],
+    embedding_dim: int = 4,
+):
+    """Feature columns without a materialized frame: vocab = len(mapping)+1
+    (ids are 1..N with unknown->0, so max_id + 1 == len + 1; mirrors
+    :func:`build_feature_columns` / ``xdftrain.py:240-256``)."""
+    cols = [
+        SparseFeat(
+            feat,
+            vocabulary_size=len(encoders[feat].mapping) + 1,
+            embedding_dim=embedding_dim,
+        )
+        for feat in sparse_features
+    ] + [DenseFeat(feat, 1) for feat in dense_features]
+    feature_names = get_feature_names(cols + cols)
+    return cols, cols, feature_names
