@@ -78,3 +78,31 @@ def test_cin_module_with_pallas_backend(rng):
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_xla), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("impl", ["fused_t", "legacy"])
+def test_backward_impls_match_xla(rng, impl):
+    """Both backward implementations (transposed wide-lane kernel and the
+    forward-reuse legacy path) match XLA autodiff."""
+    B, H, M, D, O = 6, 13, 26, 10, 16
+    h = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(B, M, D)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(O, H * M)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+
+    def loss_xla(h, x0, W, b):
+        return jnp.sum(cin_layer_contract(h, x0, W, b, backend="xla") ** 2)
+
+    def loss_pl(h, x0, W, b):
+        return jnp.sum(cp.cin_pallas(h, x0, W, b) ** 2)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(h, x0, W, b)
+    try:
+        cp.set_backward_impl(impl)
+        gp = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(h, x0, W, b)
+    finally:
+        cp.set_backward_impl("auto")
+    for a, e, name in zip(gp, gx, ["dh", "dx0", "dW", "db"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-3, atol=1e-3, err_msg=name
+        )

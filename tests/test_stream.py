@@ -214,3 +214,18 @@ def test_fit_stream_from_file(tmp_path):
         verbose=2,
     )
     assert h.history["auc"][-1] > 0.9
+
+
+def test_fit_stream_with_lazy_split_optimizer():
+    """Streaming path composes with the lazy/gradient-split embedding
+    optimizer (shared step functions)."""
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=5)
+    m.compile("adam", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split")
+    h = m.fit_stream(
+        lambda e: _batches(x, y, 64), epochs=3, verbose=0,
+        steps_per_dispatch=2,
+    )
+    assert h.history["loss"][-1] < h.history["loss"][0]
+    assert m.opt_state.get("reg"), "tracked reg scalars expected"

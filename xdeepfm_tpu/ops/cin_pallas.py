@@ -171,6 +171,134 @@ def _dw_contract(g_r, a_r, c_r, *, R, interpret=False):
     )(g_r, a_r, c_r)
 
 
+def _bwd_kernel(gT_ref, aT_ref, cT_ref, wT_ref, dxkT_ref, dx0T_ref, dw_ref,
+                *, H, Mp):
+    """Transposed fused backward (one row tile of R columns).
+
+    The standard backward decomposition (dxk/dx0 as forward-kernel calls with
+    permuted weights) emits matmuls whose OUTPUT width is H or M (26 for
+    Criteo) — ~20% of the 128-lane MXU, measured 5-10x the forward's time.
+    Here everything is computed in the transposed domain where the output
+    lane axis is the R=256-wide row tile:
+
+        Z  = W^T @ g^T                  [H*Mp, R]  one wide matmul (MXU)
+        dxk^T = sum_m Z[h,m,:] * c^T[m] [H, R]     sublane reduction (VPU)
+        dx0^T = sum_h Z[h,m,:] * a^T[h] [Mp, R]    leading-axis reduction (VPU)
+        dW   += (a^T x c^T) @_R g^T     [H*Mp, O]  lane-contracted matmul (MXU)
+
+    Total MXU work is 2x the forward FLOPs (dxk and dx0 share Z) at full
+    lane width, vs 3x at ~20% width for the standard decomposition.  M pads
+    to Mp (multiple of the 8-row sublane tile) so the [H*Mp, R] -> [H, Mp, R]
+    reshape is layout-preserving.
+    """
+    i = pl.program_id(0)
+    gT = gT_ref[:]
+    Z = jnp.dot(wT_ref[:], gT, preferred_element_type=jnp.float32)
+    R = Z.shape[1]
+    Z3 = Z.reshape(H, Mp, R)
+    a3 = aT_ref[:].reshape(H, 1, R)
+    c3 = cT_ref[:].reshape(1, Mp, R)
+    dxkT_ref[:] = jnp.sum(Z3 * c3, axis=1)
+    dx0T_ref[:] = jnp.sum(Z3 * a3, axis=0)
+    Y = (a3 * c3).reshape(H * Mp, R)
+    dw = jax.lax.dot_general(
+        Y, gT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = dw
+
+    @pl.when(i != 0)
+    def _():
+        dw_ref[:] += dw
+
+
+def _bwd_fused_t(g, a, c, W, *, interpret=False):
+    """dxk [N,H], dx0 [N,M], dW [O,H*M] via the transposed fused kernel."""
+    N, H = a.shape
+    M = c.shape[1]
+    O = W.shape[0]
+    Mp = _round_up(M, 8)
+    R = _row_tile(N)
+    Np = _round_up(N, R)
+    ct = _compute_dtype()
+    if Np != N:
+        pad = ((0, Np - N), (0, 0))
+        g = jnp.pad(g, pad)
+        a = jnp.pad(a, pad)
+        c = jnp.pad(c, pad)
+    gT = g.T.astype(ct)
+    aT = a.T.astype(jnp.float32)
+    cT = jnp.pad(c, ((0, 0), (0, Mp - M))).T.astype(jnp.float32)
+    W3 = jnp.pad(W.reshape(O, H, M), ((0, 0), (0, 0), (0, Mp - M)))
+    WT = W3.transpose(1, 2, 0).reshape(H * Mp, O).astype(ct)
+    kernel = functools.partial(_bwd_kernel, H=H, Mp=Mp)
+    dxkT, dx0T, dWp = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((H, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((H * Mp, O), jnp.float32),
+        ),
+        grid=(Np // R,),
+        in_specs=[
+            pl.BlockSpec((O, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (H * Mp, O), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((H, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (H * Mp, O), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Np * H * Mp * O,
+            bytes_accessed=4 * (Np * (O + H + Mp) + 2 * H * Mp * O
+                                + Np * (H + Mp)),
+            transcendentals=0,
+        ),
+    )(gT, aT, cT, WT)
+    dxk = dxkT.T[:N]
+    dx0 = dx0T.T[:N, :M]
+    dW = (
+        dWp.reshape(H, Mp, O)[:, :M]
+        .transpose(2, 0, 1)
+        .reshape(O, H * M)
+    )
+    return dxk, dx0, dW
+
+
+# Backward implementation: 'fused_t' (transposed wide-lane kernel, default),
+# 'legacy' (forward-kernel reuse with permuted weights).  'auto' falls back
+# to legacy only when the fused kernel's VMEM working set would not fit.
+_BWD_IMPL = "auto"
+_BWD_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def set_backward_impl(name: str):
+    global _BWD_IMPL
+    assert name in ("auto", "fused_t", "legacy")
+    _BWD_IMPL = name
+
+
+def _bwd_fused_fits(N, H, M, O):
+    Mp = _round_up(M, 8)
+    R = _row_tile(N)
+    # Z + Y [H*Mp, R] fp32, WT + dw [H*Mp, O]
+    return H * Mp * (2 * R + 2 * O) * 4 <= _BWD_VMEM_BUDGET
+
+
 def _to_rows(x):
     """[B, F, D] -> [B*D, F] (row = one (b, d) slice)."""
     B, F, D = x.shape
@@ -260,6 +388,16 @@ def _cin_rows_bwd(res, g):
     H = h_rows.shape[1]
     M = x0_rows.shape[1]
     O = W.shape[0]
+    N = h_rows.shape[0]
+    db = jnp.sum(g, axis=0)
+    use_fused = _BWD_IMPL == "fused_t" or (
+        _BWD_IMPL == "auto" and _bwd_fused_fits(N, H, M, O)
+    )
+    if use_fused:
+        dxk, dx0, dW = _bwd_fused_t(
+            g, h_rows, x0_rows, W, interpret=_INTERPRET
+        )
+        return dxk, dx0, dW.astype(W.dtype), db
     W3 = W.reshape(O, H, M)
     dxk = _forward_rows_flat(
         g, x0_rows, W3.transpose(2, 0, 1), jnp.zeros((H,), W.dtype)
@@ -267,14 +405,12 @@ def _cin_rows_bwd(res, g):
     dx0 = _forward_rows_flat(
         g, h_rows, W3.transpose(1, 0, 2), jnp.zeros((M,), W.dtype)
     )
-    N = h_rows.shape[0]
     R = _row_tile(N)
     g_r = _pad_rows(g, R).astype(jnp.float32)
     a_r = _pad_rows(h_rows, R).astype(jnp.float32)
     c_r = _pad_rows(x0_rows, R).astype(jnp.float32)
     dW_moh = _dw_contract(g_r, a_r, c_r, R=R, interpret=_INTERPRET)  # [M,O,H]
     dW = dW_moh.transpose(1, 2, 0).reshape(O, H * M).astype(W.dtype)
-    db = jnp.sum(g, axis=0)
     return dxk, dx0, dW, db
 
 
