@@ -215,7 +215,7 @@ class BaseModel:
 
     def compile(self, optimizer, loss=None, metrics=None, lr=None,
                 embedding_optimizer="dense", matmul_precision=None,
-                embedding_gradient="auto"):
+                embedding_gradient="auto", fused_lookup="auto"):
         """String (or optax GradientTransformation) optimizer, string loss
         name(s), metric-name list (``basemodel.py:433-445``).
 
@@ -240,6 +240,14 @@ class BaseModel:
 
         matmul_precision: None (full fp32, reference parity) or 'bfloat16' —
         single-pass bf16 MXU for the tower matmuls (opt-in mixed precision).
+
+        fused_lookup: dense-optimizer train steps gather SAME-LAYOUT stacked
+        tables (e.g. the main table_d10 and the linear table_d1, which index
+        with identical offsets) through ONE column-concatenated random-access
+        walk, with one combined backward scatter — instead of a gather+scatter
+        pair per table.  Bit-equivalent math up to fp32 scatter accumulation
+        order.  'auto' (default) enables it on a single device; True forces,
+        False disables.
         """
         self._matmul_precision = matmul_precision
         if embedding_gradient not in ("auto", "dense", "split"):
@@ -313,8 +321,33 @@ class BaseModel:
                 self.optimizer = base
         else:
             self.optimizer = _get_optimizer(optimizer, lr)
+        self._fused_dense_groups = []
+        if (
+            not self._lazy_tables
+            and fused_lookup in ("auto", True)
+            and (fused_lookup is True or jax.device_count() == 1)
+        ):
+            self._fused_dense_groups = self._build_fused_groups()
         self._init_opt_state()
         self._build_steps()
+
+    def _build_fused_groups(self):
+        """Groups of same-layout stacked tables for the dense fused lookup:
+        [(entries, (path, ...))] where every path's table has identical row
+        count and touched-id pattern, so one [R, sum_d] gather serves all."""
+        flat = {
+            _path_str(p): w
+            for p, w in jax.tree_util.tree_flatten_with_path(self.params)[0]
+        }
+        by_key = {}
+        for path, (entries, _, _) in self._build_lazy_specs().items():
+            rows = flat[path].shape[0]
+            by_key.setdefault((entries, rows), []).append(path)
+        return [
+            (entries, tuple(sorted(paths)))
+            for (entries, _), paths in sorted(by_key.items(), key=str)
+            if len(paths) >= 2
+        ]
 
     def _build_lazy_specs(self):
         """{table_param_path: (entries, l1, l2, lazy_init_state)} for tables
@@ -410,6 +443,9 @@ class BaseModel:
 
             _, lazy_row_update, _ = LAZY_OPTIMIZERS[self._lazy_kind]
             lazy_lr = self._lazy_lr
+        fused_groups = list(getattr(self, "_fused_dense_groups", ()))
+        if fused_groups:
+            from .embeddings import fused_gather, touched_ids
 
         def _tree_get(tree, path):
             for seg in path.split("/"):
@@ -517,6 +553,29 @@ class BaseModel:
                 if lazy_split:
                     b = dict(batch)
                     b["_compact"] = dict(rows_map)
+                elif fused_groups:
+                    # dense fused lookup: one [R, sum_d] random-access walk
+                    # per same-layout table group (fwd gather + bwd scatter),
+                    # sliced into per-table occurrence blocks that every
+                    # model lookup consumes as a static slice (the same
+                    # `_compact` contract the lazy gradient-split mode uses,
+                    # but differentiated: grads flow through fused_gather's
+                    # combined scatter back to each table param).
+                    compact = {}
+                    for entries, paths in fused_groups:
+                        ids = touched_ids(batch, entries)
+                        tables = tuple(_tree_get(p, path) for path in paths)
+                        meta = (
+                            tables[0].shape[0],
+                            tuple(t.shape[1] for t in tables),
+                        )
+                        occ = fused_gather(meta, tables, ids)
+                        o = 0
+                        for path, t in zip(paths, tables):
+                            compact[path] = occ[:, o : o + t.shape[1]]
+                            o += t.shape[1]
+                    b = dict(batch)
+                    b["_compact"] = compact
                 out, new_bs = apply_train(p, batch_stats, b, rng)
                 loss = compute_loss(out, y, mask)
                 reg = reg_fn(p) + reg_const

@@ -313,6 +313,47 @@ def touched_ids(batch, entries):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
+from functools import partial as _partial
+
+import jax
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_gather(meta, tables, ids):
+    """One random-access table walk serving several SAME-LAYOUT stacked
+    tables (identical row count and id pattern — e.g. the main ``table_d10``
+    and the linear ``table_d1``, which index with the same offsets).
+
+    HBM random access is row-latency bound, not byte bound, so gathering the
+    column-concatenated [R, sum_d] once costs ~one narrow gather; the backward
+    is ONE scatter-add into a [R, sum_d] zeros block, sliced per table —
+    instead of a separate gather+scatter pair per table.  The column concat /
+    split are sequential streams (~us at canonical shapes).
+
+    meta: (rows, dims tuple) — static.  tables: tuple of [rows, d_i].
+    ids: int32 [N].  Returns [N, sum(dims)].
+    """
+    del meta
+    return jnp.take(jnp.concatenate(tables, axis=1), ids, axis=0)
+
+
+def _fused_gather_fwd(meta, tables, ids):
+    return fused_gather(meta, tables, ids), ids
+
+
+def _fused_gather_bwd(meta, ids, ct):
+    rows, dims = meta
+    d = jnp.zeros((rows, sum(dims)), ct.dtype).at[ids].add(ct)
+    outs, o = [], 0
+    for di in dims:
+        outs.append(d[:, o : o + di])
+        o += di
+    return (tuple(outs), None)
+
+
+fused_gather.defvjp(_fused_gather_fwd, _fused_gather_bwd)
+
+
 def combined_dnn_input(sparse_embedding_list, dense_value_list):
     """Flatten + concat (reference ``inputs.py:126-138``)."""
     if len(sparse_embedding_list) > 0 and len(dense_value_list) > 0:
