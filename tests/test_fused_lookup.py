@@ -95,6 +95,17 @@ def test_fused_gather_grads_exact():
                                    atol=1e-6)
 
 
+def test_fused_predict_matches_unfused():
+    x, y, cols = _data()
+    a = _train(False)
+    b = _train(True)
+    # align weights so only the lookup path differs
+    b.set_weights(a.get_weights())
+    pa = a.predict(x, 64)
+    pb = b.predict(x, 64)
+    np.testing.assert_allclose(pa, pb, rtol=1e-6, atol=1e-7)
+
+
 def test_no_fusion_when_layouts_differ():
     """DIN has no linear model — nothing to fuse; compile must not group."""
     x, y, cols = _data()

@@ -447,6 +447,24 @@ class BaseModel:
         if fused_groups:
             from .embeddings import fused_gather, touched_ids
 
+            def build_compact(p, b):
+                """Per-table occurrence blocks from ONE combined gather per
+                same-layout group (see compile(fused_lookup=...))."""
+                compact = {}
+                for entries, paths in fused_groups:
+                    ids = touched_ids(b, entries)
+                    tables = tuple(_tree_get(p, path) for path in paths)
+                    meta = (
+                        tables[0].shape[0],
+                        tuple(t.shape[1] for t in tables),
+                    )
+                    occ = fused_gather(meta, tables, ids)
+                    o = 0
+                    for path, t in zip(paths, tables):
+                        compact[path] = occ[:, o : o + t.shape[1]]
+                        o += t.shape[1]
+                return compact
+
         def _tree_get(tree, path):
             for seg in path.split("/"):
                 tree = tree[seg]
@@ -561,21 +579,8 @@ class BaseModel:
                     # `_compact` contract the lazy gradient-split mode uses,
                     # but differentiated: grads flow through fused_gather's
                     # combined scatter back to each table param).
-                    compact = {}
-                    for entries, paths in fused_groups:
-                        ids = touched_ids(batch, entries)
-                        tables = tuple(_tree_get(p, path) for path in paths)
-                        meta = (
-                            tables[0].shape[0],
-                            tuple(t.shape[1] for t in tables),
-                        )
-                        occ = fused_gather(meta, tables, ids)
-                        o = 0
-                        for path, t in zip(paths, tables):
-                            compact[path] = occ[:, o : o + t.shape[1]]
-                            o += t.shape[1]
                     b = dict(batch)
-                    b["_compact"] = compact
+                    b["_compact"] = build_compact(p, batch)
                 out, new_bs = apply_train(p, batch_stats, b, rng)
                 loss = compute_loss(out, y, mask)
                 reg = reg_fn(p) + reg_const
@@ -700,6 +705,9 @@ class BaseModel:
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
+            if fused_groups:
+                batch = dict(batch)
+                batch["_compact"] = build_compact(params, batch)
             out = module.apply(variables, batch, training=False)
             return out["pred"]
 
