@@ -120,6 +120,27 @@ def test_no_fusion_when_layouts_differ():
     m.fit(x, y, batch_size=64, epochs=1, verbose=0)
 
 
+def test_fused_fit_stream_matches_fit():
+    x, y, cols = _data()
+    m1 = xDeepFM(cols, cols, dnn_hidden_units=(16,), cin_layer_size=(8,),
+                 seed=7)
+    m1.compile("adam", "binary_crossentropy", metrics=[], fused_lookup=True)
+    m1.fit(x, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    m2 = xDeepFM(cols, cols, dnn_hidden_units=(16,), cin_layer_size=(8,),
+                 seed=7)
+    m2.compile("adam", "binary_crossentropy", metrics=[], fused_lookup=True)
+
+    def gen():
+        for s in range(0, len(y), 64):
+            yield ({k: v[s : s + 64] for k, v in x.items()}, y[s : s + 64])
+
+    m2.fit_stream(gen(), verbose=0)
+    a, b = _flatten(m1.params), _flatten(m2.params)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-8,
+                                   err_msg=k)
+
+
 def test_fused_auto_disabled_on_multidevice():
     """conftest forces 8 virtual CPU devices -> 'auto' must stay off."""
     x, y, cols = _data()

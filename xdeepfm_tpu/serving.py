@@ -30,13 +30,21 @@ class Scorer:
         params = model.params
         batch_stats = model.batch_stats
 
-        def score_fn(batch):
-            variables = {"params": params}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            return module.apply(variables, batch, training=False)["pred"]
+        if getattr(model, "_compiled", None):
+            # the engine's jitted predict step includes the fused table
+            # lookup (compile(fused_lookup=...)) — reuse it.
+            self._fn = lambda batch: model._predict_step(
+                params, batch_stats, batch
+            )
+        else:
 
-        self._fn = jax.jit(score_fn)
+            def score_fn(batch):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return module.apply(variables, batch, training=False)["pred"]
+
+            self._fn = jax.jit(score_fn)
 
     def warmup(self):
         dummy = self.model._dummy_batch(self.batch_size)
