@@ -61,11 +61,40 @@ def main():
     module = model.module
     rngkey = jax.random.PRNGKey(0)
 
+    def _with_compact(params, b):
+        """Reproduce the engine's fused `_compact` lookup (see
+        BaseModel._build_steps) so fwd/fwd_bwd attribute like the real step."""
+        groups = getattr(model, "_fused_dense_groups", ())
+        if not groups:
+            return b
+        from xdeepfm_tpu.embeddings import fused_gather, touched_ids
+
+        def tree_get(tree, path):
+            for seg in path.split("/"):
+                tree = tree[seg]
+            return tree
+
+        compact = {}
+        for entries, paths in groups:
+            ids = touched_ids(b, entries)
+            tables = tuple(tree_get(params, path) for path in paths)
+            meta = (tables[0].shape[0], tuple(t.shape[1] for t in tables))
+            occ = fused_gather(meta, tables, ids)
+            o = 0
+            for path, t in zip(paths, tables):
+                compact[path] = occ[:, o : o + t.shape[1]]
+                o += t.shape[1]
+        b = dict(b)
+        b["_compact"] = compact
+        return b
+
     def loss_fn(params, noise):
+        b = {k: (v + noise if v.dtype == jnp.float32 else v)
+             for k, v in batch.items()}
+        b = _with_compact(params, b)
         out = module.apply(
             {"params": params},
-            {k: (v + noise if v.dtype == jnp.float32 else v)
-             for k, v in batch.items()},
+            b,
             training=True,
             rngs={"dropout": rngkey},
         )
