@@ -8,6 +8,7 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC criteo_parser.cpp -o libcriteo.so
 
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -39,6 +40,22 @@ inline uint64_t fnv1a(const char* s, size_t n) {
 // token for missing sparse values: "-1" (xdftrain.py:207 fillna("-1"))
 const uint64_t kMissingHash = fnv1a("-1", 2);
 
+// allocation-free float parse (the old std::string+strtof temporary was ~40
+// heap allocations per row); from_chars handles the plain decimal/scientific
+// forms Criteo files contain.
+inline float parse_float(const char* tok, size_t tlen) {
+  float v = 0.0f;
+  auto res = std::from_chars(tok, tok + tlen, v);
+  if (res.ec != std::errc()) {
+    char buf[64];
+    size_t n = tlen < 63 ? tlen : 63;
+    memcpy(buf, tok, n);
+    buf[n] = 0;
+    v = strtof(buf, nullptr);
+  }
+  return v;
+}
+
 struct Row {
   float label;
   float dense[kDense];
@@ -62,14 +79,12 @@ bool parse_line(const char* line, size_t len, char sep, bool with_label,
       int f = field;
       if (with_label) {
         if (f == 0) {
-          row->label = tlen ? strtof(std::string(tok, tlen).c_str(), nullptr)
-                            : 0.0f;
+          row->label = tlen ? parse_float(tok, tlen) : 0.0f;
         }
         f -= 1;
       }
       if (f >= 0 && f < kDense) {
-        row->dense[f] =
-            tlen ? strtof(std::string(tok, tlen).c_str(), nullptr) : 0.0f;
+        row->dense[f] = tlen ? parse_float(tok, tlen) : 0.0f;
       } else if (f >= kDense && f < kDense + kSparse) {
         row->sparse[f - kDense] = tlen ? fnv1a(tok, tlen) : kMissingHash;
       }
@@ -104,6 +119,7 @@ void criteo_parser_free(void* p) { delete static_cast<Parser*>(p); }
 int64_t criteo_count_rows(const char* path) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  setvbuf(f, nullptr, _IOFBF, 1 << 20);
   int64_t rows = 0;
   char* line = nullptr;
   size_t cap = 0;
@@ -132,6 +148,7 @@ int64_t criteo_parse(void* handle, const char* path, int with_label, int fit,
   Parser* parser = static_cast<Parser*>(handle);
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  setvbuf(f, nullptr, _IOFBF, 1 << 20);
   char* line = nullptr;
   size_t cap = 0;
   ssize_t n;
@@ -169,6 +186,81 @@ int64_t criteo_parse(void* handle, const char* path, int with_label, int fit,
   fclose(f);
   return r;
 }
+
+// ---- streaming interface (out-of-core training feeds, data.py
+// iter_criteo_batches native path) ----------------------------------------
+
+struct Stream {
+  Parser* parser;
+  FILE* f;
+  char* line = nullptr;
+  size_t cap = 0;
+  bool first = true;
+  char sep = 0;
+  int with_label;
+  int fit;
+  ~Stream() {
+    free(line);
+    if (f) fclose(f);
+  }
+};
+
+// Open a row stream over `path`.  Returns nullptr on error.
+void* criteo_stream_open(void* handle, const char* path, int with_label,
+                         int fit) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  setvbuf(f, nullptr, _IOFBF, 1 << 20);
+  Stream* s = new Stream();
+  s->parser = static_cast<Parser*>(handle);
+  s->f = f;
+  s->with_label = with_label;
+  s->fit = fit;
+  return s;
+}
+
+// Parse up to `max_rows` rows into the caller's buffers; returns rows
+// produced (0 = EOF, -1 = error).
+int64_t criteo_stream_next(void* stream, int64_t max_rows, float* labels,
+                           float* dense, int64_t* sparse_ids) {
+  Stream* st = static_cast<Stream*>(stream);
+  if (!st || !st->f) return -1;
+  Parser* parser = st->parser;
+  int64_t r = 0;
+  ssize_t n;
+  Row row;
+  while (r < max_rows && (n = getline(&st->line, &st->cap, st->f)) > 0) {
+    char* line = st->line;
+    if (st->first) {
+      st->first = false;
+      if (looks_like_header(line)) continue;
+    }
+    if (n <= 1) continue;
+    if (!st->sep) st->sep = detect_sep(line);
+    if (!parse_line(line, (size_t)n, st->sep, st->with_label != 0, &row))
+      continue;
+    if (labels) labels[r] = st->with_label ? row.label : 0.0f;
+    for (int d = 0; d < kDense; ++d) dense[r * kDense + d] = row.dense[d];
+    for (int s = 0; s < kSparse; ++s) {
+      auto& m = parser->maps[s];
+      auto it = m.find(row.sparse[s]);
+      int64_t id;
+      if (it != m.end()) {
+        id = it->second;
+      } else if (st->fit) {
+        id = (int64_t)m.size() + 1;
+        m.emplace(row.sparse[s], id);
+      } else {
+        id = 0;
+      }
+      sparse_ids[r * kSparse + s] = id;
+    }
+    ++r;
+  }
+  return r;
+}
+
+void criteo_stream_close(void* stream) { delete static_cast<Stream*>(stream); }
 
 // vocab size (max id + 1, including the unknown slot 0) per sparse column.
 void criteo_vocab_sizes(void* handle, int64_t* out26) {

@@ -905,6 +905,50 @@ class BaseModel:
         callbacks.on_train_end()
         return self.history
 
+    @staticmethod
+    def _prefetch_iter(it, depth=3):
+        """Pull `it` in a background thread (queue depth bounded) so host-side
+        batch production — file parse, preprocessing — overlaps device steps.
+        Parsing releases the GIL in the native path (ctypes) and in numpy, so
+        a plain thread captures most of the overlap."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        END = object()
+        stop = threading.Event()
+
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for item in it:
+                    if not put(item):
+                        return
+                put(END)
+            except BaseException as e:  # propagate into the consumer
+                put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
     def fit_stream(
         self,
         generator,
@@ -915,6 +959,7 @@ class BaseModel:
         callbacks=None,
         steps_per_dispatch=1,
         steps_per_epoch=None,
+        prefetch=3,
     ):
         """Out-of-core training from a batch stream.
 
@@ -1039,6 +1084,15 @@ class BaseModel:
                 n_steps += len(group)
 
             stream = generator(epoch) if callable(generator) else generator
+            if prefetch:
+                src = iter(stream)
+                if steps_per_epoch:
+                    # bound read-ahead so the source is consumed exactly
+                    # steps_per_epoch times, as without prefetch
+                    import itertools
+
+                    src = itertools.islice(src, steps_per_epoch)
+                stream = self._prefetch_iter(src, depth=prefetch)
             for xy in stream:
                 group.append(prep(xy))
                 if len(group) == steps_per_dispatch:

@@ -34,6 +34,22 @@ from ..data import (
 from ..metrics import log_loss, roc_auc_score
 
 
+def setup_jax_cache():
+    """Persistent XLA compilation cache: the train-step compile dominates CLI
+    wall time on the TPU tunnel (~2 min); cached reruns are seconds.
+    Honors JAX_COMPILATION_CACHE_DIR, defaults to a shared tmp dir."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/xdeepfm_tpu_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def set_seed(seed: int = 2025):
     random.seed(seed)
     np.random.seed(seed)
@@ -86,12 +102,20 @@ def base_arg_parser() -> argparse.ArgumentParser:
         "--streaming", action="store_true",
         help="out-of-core training: fit preprocessors in one streaming pass "
         "and train via fit_stream without loading the train file into "
-        "memory (eval mode requires --eval_path; batches stream in file "
+        "memory; combine with --use_native_parser to stream through the "
+        "C++ parser (~6x faster host pipeline) "
+        "(eval mode requires --eval_path; batches stream in file "
         "order instead of shuffling)",
     )
     p.add_argument(
         "--stream_chunksize", type=int, default=200_000,
         help="rows per pandas chunk in --streaming mode",
+    )
+    p.add_argument(
+        "--stream_shuffle_buffer", type=int, default=0,
+        help="rows held in a streaming shuffle buffer (native --streaming "
+        "mode): batches sample randomly from the buffer, approximating the "
+        "in-memory path's global shuffle; 0 = file order",
     )
     return p
 
@@ -174,6 +198,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
     eval metrics, artifact persistence."""
     import pandas as pd
 
+    setup_jax_cache()
     set_seed(args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -194,15 +219,76 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         if not native_mod.available():
             print("[WARN] native parser unavailable; falling back to pandas")
             use_native = False
-    if streaming and use_native:
-        print("[WARN] --streaming uses the pandas chunk reader; ignoring "
-              "--use_native_parser")
-        use_native = False
-
     test_x = None
     n_test = 0
     stream_gen = None
-    if streaming:
+    if streaming and use_native:
+        # out-of-core through the C++ parser: one streaming pass fits the
+        # vocab + dense min/max; eval (small) parses in bulk and extends
+        # both, matching the train+eval combined fit (xdftrain.py:372-383).
+        from ..data import (
+            extend_scaler,
+            fit_preprocessors_streaming_native,
+            iter_criteo_batches_native,
+        )
+        from ..features import DenseFeat, SparseFeat, get_feature_names
+
+        if not args.eval_path:
+            raise SystemExit(
+                "--streaming eval mode requires --eval_path (a random "
+                "validation split would need the full train set in memory)"
+            )
+        print(f"[INFO] Native streaming preprocessor fit: {args.data_path}")
+        parser, scaler, stats = fit_preprocessors_streaming_native(
+            args.data_path
+        )
+        train_pos_ratio = stats["pos_ratio"]
+        print(
+            f"[DEBUG] Train samples: {stats['n']}, positive ratio: "
+            f"{train_pos_ratio:.4f}"
+        )
+        labels_ev, dense_ev, ids_ev = parser.fit_transform(args.eval_path)
+        extend_scaler(scaler, dense_ev)
+        dense_ev = scaler.transform(dense_ev)
+        vocab = parser.vocab_sizes()
+        linear_cols = dnn_cols = [
+            SparseFeat(
+                CRITEO_SPARSE[j], vocabulary_size=int(vocab[j]),
+                embedding_dim=args.embedding_dim,
+            )
+            for j in range(26)
+        ] + [DenseFeat(name, 1) for name in CRITEO_DENSE]
+        feature_names = get_feature_names(linear_cols)
+        eval_x = {CRITEO_SPARSE[j]: ids_ev[:, j] for j in range(26)}
+        eval_x.update({CRITEO_DENSE[j]: dense_ev[:, j] for j in range(13)})
+        y_eval = labels_ev[:, None]
+        n_train = stats["n"]
+        if args.test_path:
+            _, dense_te, ids_te = parser.transform(
+                args.test_path, with_label=False
+            )
+            dense_te = scaler.transform(dense_te)
+            test_x = {CRITEO_SPARSE[j]: ids_te[:, j] for j in range(26)}
+            test_x.update(
+                {CRITEO_DENSE[j]: dense_te[:, j] for j in range(13)}
+            )
+            n_test = len(ids_te)
+
+        def stream_gen(epoch):
+            return iter_criteo_batches_native(
+                args.data_path, parser, scaler, args.batch_size,
+                shuffle_buffer=getattr(args, "stream_shuffle_buffer", 0),
+                seed=args.seed + epoch,
+            )
+
+        preprocess_payload = {
+            "native": True,
+            "scaler": scaler,
+            "sparse_features": sparse_features,
+            "dense_features": dense_features,
+            "feature_names": feature_names,
+        }
+    elif streaming:
         # out-of-core: one streaming pass fits the preprocessors; the eval
         # set (small) loads in memory for exact pooled metrics; train batches
         # stream from disk each epoch (file order, no shuffle).
@@ -486,6 +572,7 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
     """``xdftrain.py:553-704``: fit on 100% of the data, metrics disabled."""
     import pandas as pd
 
+    setup_jax_cache()
     set_seed(args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")

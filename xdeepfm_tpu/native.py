@@ -61,6 +61,17 @@ def _load():
     lib.criteo_vocab_sizes.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)
     ]
+    lib.criteo_stream_open.restype = ctypes.c_void_p
+    lib.criteo_stream_open.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int
+    ]
+    lib.criteo_stream_next.restype = ctypes.c_int64
+    lib.criteo_stream_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.criteo_stream_close.argtypes = [ctypes.c_void_p]
     lib.criteo_save_vocab.restype = ctypes.c_int
     lib.criteo_save_vocab.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.criteo_load_vocab.restype = ctypes.c_int
@@ -120,6 +131,37 @@ class NativeCriteoParser:
 
     def transform(self, path: str, with_label: bool = True):
         return self._parse(path, with_label, fit=False)
+
+    def stream(self, path: str, batch_size: int, with_label: bool = True,
+               fit: bool = False):
+        """Yield (labels [K], dense [K,13] fp32, ids [K,26] int64) blocks of
+        up to ``batch_size`` rows without loading the file (out-of-core
+        feeds; pairs with data.iter_criteo_batches(native=...))."""
+        h = self._lib.criteo_stream_open(
+            self._h, path.encode(), int(with_label), int(fit)
+        )
+        if not h:
+            raise FileNotFoundError(path)
+        try:
+            while True:
+                labels = np.zeros(batch_size, np.float32)
+                dense = np.zeros((batch_size, self.N_DENSE), np.float32)
+                ids = np.zeros((batch_size, self.N_SPARSE), np.int64)
+                r = self._lib.criteo_stream_next(
+                    h, batch_size,
+                    labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+                if r < 0:
+                    raise IOError(f"stream parse failed: {path}")
+                if r == 0:
+                    return
+                yield labels[:r], dense[:r], ids[:r]
+                if r < batch_size:
+                    return
+        finally:
+            self._lib.criteo_stream_close(h)
 
     def vocab_sizes(self) -> np.ndarray:
         out = np.zeros(self.N_SPARSE, np.int64)
