@@ -18,7 +18,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH, N_SPARSE, N_DENSE, VOCAB, EMB = 4096, 26, 13, 10000, 10
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+N_SPARSE, N_DENSE, VOCAB, EMB = 26, 13, 10000, 10
 
 
 def builders():
@@ -53,6 +54,90 @@ def builders():
     }
 
 
+def special_models():
+    """Models needing non-Criteo inputs: behavior-sequence (DIN/DIEN at
+    Amazon-like shapes: item vocab 10k, maxlen 50 history) and the multitask
+    family (two binary labels on Criteo shapes).  Returns
+    {name: (build_cols, build_model, build_xy, losses)}."""
+    from xdeepfm_tpu import models as M
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat, VarLenSparseFeat
+
+    MAXLEN, IVOCAB = 50, VOCAB
+
+    def seq_cols(with_neg):
+        cols = [
+            SparseFeat("user", IVOCAB, embedding_dim=EMB),
+            SparseFeat("item", IVOCAB, embedding_dim=EMB),
+            DenseFeat("score", 1),
+            VarLenSparseFeat(
+                SparseFeat("hist_item", IVOCAB, embedding_dim=EMB,
+                           embedding_name="item"),
+                maxlen=MAXLEN, length_name="seq_length",
+            ),
+        ]
+        if with_neg:
+            cols.append(VarLenSparseFeat(
+                SparseFeat("neg_hist_item", IVOCAB, embedding_dim=EMB,
+                           embedding_name="item"),
+                maxlen=MAXLEN, length_name="seq_length",
+            ))
+        return cols
+
+    def seq_xy(rng, with_neg):
+        x = {
+            "user": rng.integers(0, IVOCAB, BATCH).astype(np.int64),
+            "item": rng.integers(0, IVOCAB, BATCH).astype(np.int64),
+            "score": rng.uniform(0, 1, BATCH).astype(np.float32),
+        }
+        lengths = rng.integers(1, MAXLEN + 1, BATCH)
+        mask = np.arange(MAXLEN)[None, :] < lengths[:, None]
+        x["hist_item"] = (
+            rng.integers(1, IVOCAB, (BATCH, MAXLEN)) * mask).astype(np.int64)
+        x["seq_length"] = lengths.astype(np.int64)
+        if with_neg:
+            x["neg_hist_item"] = (
+                rng.integers(1, IVOCAB, (BATCH, MAXLEN)) * mask
+            ).astype(np.int64)
+        y = rng.integers(0, 2, (BATCH, 1)).astype(np.float32)
+        return x, y
+
+    def criteo_cols():
+        return [
+            SparseFeat(f"C{i}", VOCAB, embedding_dim=EMB)
+            for i in range(N_SPARSE)
+        ] + [DenseFeat(f"I{i}", 1) for i in range(N_DENSE)]
+
+    def criteo_xy2(rng, model):
+        x = {f.name: rng.integers(0, VOCAB, BATCH).astype(np.int64)
+             for f in model.schema.sparse}
+        x.update({f.name: rng.uniform(0, 1, BATCH).astype(np.float32)
+                  for f in model.schema.dense})
+        y = rng.integers(0, 2, (BATCH, 2)).astype(np.float32)
+        return x, y
+
+    bce2 = ["binary_crossentropy", "binary_crossentropy"]
+    return {
+        "DIN": (
+            lambda: seq_cols(False),
+            lambda c: M.DIN(c, ["item"]),
+            lambda rng, m: seq_xy(rng, False),
+            "binary_crossentropy",
+        ),
+        "DIEN": (
+            lambda: seq_cols(True),
+            lambda c: M.DIEN(c, ["item"], gru_type="AUGRU",
+                             use_negsampling=True),
+            lambda rng, m: seq_xy(rng, True),
+            "binary_crossentropy",
+        ),
+        "SharedBottom": (criteo_cols, lambda c: M.SharedBottom(c),
+                         criteo_xy2, bce2),
+        "ESMM": (criteo_cols, lambda c: M.ESMM(c), criteo_xy2, bce2),
+        "MMOE": (criteo_cols, lambda c: M.MMOE(c), criteo_xy2, bce2),
+        "PLE": (criteo_cols, lambda c: M.PLE(c), criteo_xy2, bce2),
+    }
+
+
 def main(names=None):
     import jax
     import jax.numpy as jnp
@@ -70,30 +155,38 @@ def main(names=None):
     from xdeepfm_tpu.features import DenseFeat, SparseFeat
 
     all_b = builders()
-    run_names = names or sorted(all_b)
+    special = special_models()
+    run_names = names or (sorted(all_b) + sorted(special))
     rng = np.random.default_rng(0)
     for name in run_names:
-        # ONN builds O(F^2) pair tables — keep its vocab small enough to fit
-        vocab = 1000 if name == "ONN" else VOCAB
-        cols = [
-            SparseFeat(f"C{i}", vocab, embedding_dim=EMB)
-            for i in range(N_SPARSE)
-        ] + [DenseFeat(f"I{i}", 1) for i in range(N_DENSE)]
         try:
-            model = all_b[name](cols)
-            model.compile("adam", "binary_crossentropy", metrics=[])
-            x = {
-                f.name: rng.integers(0, vocab, BATCH).astype(np.int64)
-                for f in model.schema.sparse
-            }
-            x.update({
-                f.name: rng.uniform(0, 1, BATCH).astype(np.float32)
-                for f in model.schema.dense
-            })
+            if name in special:
+                build_cols, build_model, build_xy, losses = special[name]
+                model = build_model(build_cols())
+                model.compile("adam", losses, metrics=[])
+                x, y_np = build_xy(rng, model)
+            else:
+                # ONN builds O(F^2) pair tables — keep its vocab small
+                vocab = 1000 if name == "ONN" else VOCAB
+                cols = [
+                    SparseFeat(f"C{i}", vocab, embedding_dim=EMB)
+                    for i in range(N_SPARSE)
+                ] + [DenseFeat(f"I{i}", 1) for i in range(N_DENSE)]
+                model = all_b[name](cols)
+                model.compile("adam", "binary_crossentropy", metrics=[])
+                x = {
+                    f.name: rng.integers(0, vocab, BATCH).astype(np.int64)
+                    for f in model.schema.sparse
+                }
+                x.update({
+                    f.name: rng.uniform(0, 1, BATCH).astype(np.float32)
+                    for f in model.schema.dense
+                })
+                y_np = rng.integers(0, 2, (BATCH, 1)).astype(np.float32)
             batch = {
                 k: jnp.asarray(v) for k, v in model.schema.pack(x).items()
             }
-            y = jnp.asarray(rng.integers(0, 2, (BATCH, 1)).astype(np.float32))
+            y = jnp.asarray(y_np)
             mask = jnp.ones((BATCH,), jnp.float32)
 
             def go(n, i0):

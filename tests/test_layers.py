@@ -146,3 +146,25 @@ def test_interacting_layer(rng):
     out = layer.apply(variables, x)
     assert out.shape == (3, 5, 8)
     assert np.all(np.asarray(out) >= 0)  # final relu
+
+
+def test_kmax_lastaxis_matches_topk(rng):
+    from xdeepfm_tpu.nn.sequence import kmax_lastaxis
+
+    x = jnp.asarray(rng.normal(size=(4, 6, 26)).astype(np.float32))
+    for k in (1, 3, 13, 26):
+        got = kmax_lastaxis(x, k)
+        want = jax.lax.top_k(x, k)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+        # gradients scatter to the selected positions, like top_k's VJP
+        g_got = jax.grad(lambda a: jnp.sum(kmax_lastaxis(a, k) ** 2))(x)
+        g_want = jax.grad(lambda a: jnp.sum(jax.lax.top_k(a, k)[0] ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want))
+
+
+def test_kmax_lastaxis_ties_keep_duplicates(rng):
+    from xdeepfm_tpu.nn.sequence import kmax_lastaxis
+
+    x = jnp.asarray(np.array([[5.0, 1.0, 5.0, 3.0]], np.float32))
+    got = np.asarray(kmax_lastaxis(x, 3))
+    np.testing.assert_allclose(got, np.array([[5.0, 5.0, 3.0]], np.float32))

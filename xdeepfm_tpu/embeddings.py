@@ -35,14 +35,14 @@ from .features import (
 from .nn.sequence import sequence_pool
 
 
-def _table_layout(feature_columns, linear: bool):
+def _table_layout(feature_columns, linear: bool, force_dim=None):
     """Static layout: embedding_name -> (table_dim, row_offset); plus per-dim
     table total rows."""
     sp, _, vl = split_columns(feature_columns)
     name_specs = {}  # embedding_name -> (vocab, dim), first occurrence wins
     order = []
     for f in list(sp) + list(vl):
-        dim = 1 if linear else f.embedding_dim
+        dim = force_dim if force_dim else (1 if linear else f.embedding_dim)
         if f.embedding_name not in name_specs:
             name_specs[f.embedding_name] = (f.vocabulary_size, dim)
             order.append(f.embedding_name)
@@ -64,9 +64,12 @@ class EmbeddingCollection(nn.Module):
     schema: FeatureSchema
     linear: bool = False
     init_std: float = 1e-4
+    force_dim: Optional[int] = None  # override every table's dim (MultiLinear)
 
     def setup(self):
-        offsets, table_rows = _table_layout(self.feature_columns, self.linear)
+        offsets, table_rows = _table_layout(
+            self.feature_columns, self.linear, self.force_dim
+        )
         self._offsets = offsets
         tables = {}
         for dim, rows in sorted(table_rows.items()):
@@ -85,7 +88,7 @@ class EmbeddingCollection(nn.Module):
         vl_maxlen = {"vl_" + f.name: f.maxlen for f in self.schema.varlen}
         occ_layout = {}
         for dim, entries in table_touched_spec(
-            self.feature_columns, self.schema, self.linear
+            self.feature_columns, self.schema, self.linear, self.force_dim
         ).items():
             sparse_pos = {}
             vl_units = {}
@@ -267,12 +270,13 @@ class EmbeddingCollection(nn.Module):
         return groups
 
 
-def table_touched_spec(feature_columns, schema: FeatureSchema, linear: bool):
+def table_touched_spec(feature_columns, schema: FeatureSchema, linear: bool,
+                       force_dim=None):
     """Static description of which batch entries index which stacked table:
     {dim: [(kind, key, offset)]} where kind is 'sparse' (key = column index in
     batch['sparse']) or 'varlen' (key = batch key).  Used by the engine's lazy
     embedding optimizer to enumerate touched rows without running the model."""
-    offsets, _ = _table_layout(feature_columns, linear)
+    offsets, _ = _table_layout(feature_columns, linear, force_dim)
     sp, _, vl = split_columns(feature_columns)
     spec: Dict[int, list] = {}
     for f in sp:
@@ -423,6 +427,67 @@ class LinearModel(nn.Module):
         if not logits:
             for v in batch.values():
                 return jnp.zeros((v.shape[0], 1))
+        out = logits[0]
+        for l in logits[1:]:
+            out = out + l
+        return out
+
+
+class MultiLinearModel(nn.Module):
+    """N independent first-order models sharing one column-stacked table:
+    equivalent to N :class:`LinearModel`s (each summing per-feature 1-dim
+    embeddings + a dense matmul) but the sparse lookup is ONE gather of
+    [B, F, N] wide rows and the optimizer walks ONE [V, N] table.  Used by
+    MLR, whose reference builds ``region_num`` separate ``Linear`` modules
+    looked up independently (``deepctr/models/mlr.py:60-75``) — at 26 fields
+    and N=4 that is 4x the row touches and 4x the lane-padded adam passes for
+    the same math.  Returns [B, N] logits."""
+
+    feature_columns: tuple
+    schema: FeatureSchema
+    n_outputs: int
+    init_std: float = 1e-4
+
+    def setup(self):
+        self.embedding = EmbeddingCollection(
+            feature_columns=self.feature_columns,
+            schema=self.schema,
+            force_dim=self.n_outputs,
+            init_std=self.init_std,
+            name="embedding_dict",
+        )
+        _, de, _ = split_columns(self.feature_columns)
+        dense_dim = sum(f.dimension for f in de)
+        if dense_dim > 0:
+            self.weight = self.param(
+                "weight",
+                nn.initializers.normal(stddev=self.init_std),
+                (dense_dim, self.n_outputs),
+            )
+
+    def __call__(self, batch):
+        sp, de, vl = split_columns(self.feature_columns)
+        parts = []  # [B, F_any, N] blocks
+        if sp:
+            parts.append(self.embedding.stacked_sparse(batch, sp))
+        for f in vl:
+            parts.append(self.embedding.lookup_varlen_pooled(batch, f))
+        logits = []
+        if parts:
+            cat = jnp.concatenate(parts, axis=1)  # [B, F_total, N]
+            logits.append(jnp.sum(cat, axis=1))
+        if de:
+            dense_vals = jnp.concatenate(
+                [
+                    batch["dense"][:, slice(*self.schema.dense_slice(f.name))]
+                    for f in de
+                ],
+                axis=-1,
+            )
+            logits.append(dense_vals @ self.weight)
+        if not logits:
+            for v in batch.values():
+                return jnp.zeros((v.shape[0], self.n_outputs))
         out = logits[0]
         for l in logits[1:]:
             out = out + l

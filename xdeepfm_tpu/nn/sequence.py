@@ -119,6 +119,54 @@ class AttentionSequencePoolingLayer(nn.Module):
         return outputs
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def kmax_lastaxis(x, k):
+    """Exact top-k values (sorted descending) along the last axis via k
+    iterative max+mask passes.
+
+    XLA:TPU lowers ``lax.top_k`` to a full sort — measured 25.7 ms of CCPM's
+    29.0 ms train step at Criteo shapes.  For the small axes k-max pooling
+    sees (the field axis, n <= a few dozen) k vectorized max passes are far
+    cheaper, and the custom VJP scatters cotangents by the saved argmax
+    indices instead of replaying the masking chain.  Iterative masking picks
+    the FIRST occurrence on ties, like a stable sort."""
+    return _kmax_iter(x, k)[0]
+
+
+def _kmax_iter(x, k):
+    n = x.shape[-1]
+    ar = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        m = jnp.max(cur, axis=-1)
+        i = jnp.argmax(cur, axis=-1).astype(jnp.int32)
+        vals.append(m)
+        idxs.append(i)
+        cur = jnp.where(ar == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
+def _kmax_fwd(x, k):
+    vals, idxs = _kmax_iter(x, k)
+    return vals, (idxs, x.shape[-1])
+
+
+def _kmax_bwd(k, res, g):
+    idxs, n = res
+    ar = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    dx = jnp.zeros(g.shape[:-1] + (n,), g.dtype)
+    for t in range(k):  # indices are distinct per row by construction
+        dx = dx + jnp.where(ar == idxs[..., t : t + 1], g[..., t : t + 1], 0)
+    return (dx,)
+
+
+kmax_lastaxis.defvjp(_kmax_fwd, _kmax_bwd)
+
+
 class KMaxPooling(nn.Module):
     """Top-k along an axis, sorted descending (reference: ``sequence.py:157-189``)."""
 
@@ -136,7 +184,10 @@ class KMaxPooling(nn.Module):
                 "k must be in 1 ~ %d,now k is %d" % (inputs.shape[self.axis], self.k)
             )
         moved = jnp.moveaxis(inputs, self.axis, -1)
-        top = jax.lax.top_k(moved, self.k)[0]
+        if self.k <= 32:
+            top = kmax_lastaxis(moved, self.k)
+        else:  # large k: the sort-based lowering wins
+            top = jax.lax.top_k(moved, self.k)[0]
         return jnp.moveaxis(top, -1, self.axis)
 
 
