@@ -55,6 +55,7 @@ class FiBiNETModule(nn.Module):
             filed_size=self.field_size,
             embedding_size=self.embedding_size,
             bilinear_type=self.bilinear_type,
+            flatten_output=True,
             name="Bilinear",
         )
         F_ = self.field_size
@@ -80,11 +81,13 @@ class FiBiNETModule(nn.Module):
             batch, self.dnn_cols
         )
         senet_output = self.SE(sparse_stack, training=training)
+        # flat [B, P*E] outputs: the concat+flatten below stays in the
+        # compact layout (concat of padded [B, P, E] blocks re-materializes
+        # ~13x the logical bytes)
         senet_bilinear_out = self.Bilinear(senet_output, training=training)
         bilinear_out = self.Bilinear(sparse_stack, training=training)
         linear_logit = self.linear_model(batch)
-        combined = jnp.concatenate([senet_bilinear_out, bilinear_out], axis=1)
-        parts = [combined.reshape(combined.shape[0], -1)]
+        parts = [jnp.concatenate([senet_bilinear_out, bilinear_out], axis=1)]
         if dense_vals is not None:
             parts.append(dense_vals)
         dnn_out = self.dnn(jnp.concatenate(parts, axis=-1), training=training)

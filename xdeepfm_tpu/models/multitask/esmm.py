@@ -52,7 +52,7 @@ class ESMMModule(nn.Module):
         self.out = PredictionLayer(task="binary", name="out")
 
     def __call__(self, batch, training: bool = False):
-        sparse_list, dense_list = self.embedding_dict.embed_inputs(
+        sparse_list, dense_list = self.embedding_dict.fast_inputs(
             batch, self.dnn_cols
         )
         dnn_input = combined_dnn_input(sparse_list, dense_list)

@@ -61,7 +61,7 @@ class SharedBottomModule(nn.Module):
         ]
 
     def __call__(self, batch, training: bool = False):
-        sparse_list, dense_list = self.embedding_dict.embed_inputs(
+        sparse_list, dense_list = self.embedding_dict.fast_inputs(
             batch, self.dnn_cols
         )
         dnn_input = combined_dnn_input(sparse_list, dense_list)

@@ -49,9 +49,7 @@ class WDLModule(nn.Module):
         self.out = PredictionLayer(task=self.task, name="out")
 
     def __call__(self, batch, training: bool = False):
-        # embed_inputs path: supports mixed embedding dims (wide&deep has no
-        # field-stacked interaction term).
-        sparse_list, dense_list = self.embedding_dict.embed_inputs(
+        sparse_list, dense_list = self.embedding_dict.fast_inputs(
             batch, self.dnn_cols
         )
         logit = self.linear_model(batch)

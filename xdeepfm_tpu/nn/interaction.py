@@ -13,6 +13,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.cin import cin_layer_contract, cin_rows_contract
 from .activations import apply_activation, make_activation
@@ -88,6 +89,10 @@ class BilinearInteraction(nn.Module):
     embedding_size: int
     bilinear_type: str = "interaction"
     seed: int = 1024
+    # flatten_output=True returns [B, P*E] (row-major (p, e), identical to
+    # .reshape on the 3D output).  Lets the consumer concat/flatten in the
+    # COMPACT layout instead of re-materializing the lane-padded [B, P, E].
+    flatten_output: bool = False
 
     @nn.compact
     def __call__(self, inputs, training: bool = False):
@@ -99,28 +104,37 @@ class BilinearInteraction(nn.Module):
         F_ = self.filed_size
         E = self.embedding_size
         row, col = _pair_indices(F_)
-        vi = inputs[:, row, :]  # [B, P, E]
-        vj = inputs[:, col, :]
         n_pairs = len(row)
+        # Compute in transposed [E, P, B] space: with the batch on the lane
+        # axis every tensor is COMPACT, where the natural [B, P, E] layout
+        # pads E to 128 lanes and moves ~13x its logical bytes per op
+        # (FiBiNET step 7.93 -> 3.27 ms at Criteo shapes, v5e-1).  Math is
+        # identical to the reference's per-pair (W v_i) * v_j.
+        xT = jnp.transpose(inputs, (2, 1, 0))  # [E, F, B]
+        viT = xT[:, np.array(row), :]  # [E, P, B]
+        vjT = xT[:, np.array(col), :]
         if self.bilinear_type == "all":
             W = self.param("bilinear_all", torch_linear_init, (E, E))
-            p = jnp.einsum("bpe,ef->bpf", vi, W) * vj
+            pT = jnp.einsum("epb,ef->fpb", viT, W) * vjT
         elif self.bilinear_type == "each":
             W = self.param(
                 "bilinear_each", _stacked_init(torch_linear_init, F_), (F_, E, E)
             )
-            Wi = W[jnp.array(row)]  # [P, E, E]
-            p = jnp.einsum("bpe,pef->bpf", vi, Wi) * vj
+            Wi = W[np.array(row)]  # [P, E, E]
+            pT = jnp.einsum("epb,pef->fpb", viT, Wi) * vjT
         elif self.bilinear_type == "interaction":
             W = self.param(
                 "bilinear_inter",
                 _stacked_init(torch_linear_init, n_pairs),
                 (n_pairs, E, E),
             )
-            p = jnp.einsum("bpe,pef->bpf", vi, W) * vj
+            pT = jnp.einsum("epb,pef->fpb", viT, W) * vjT
         else:
             raise NotImplementedError
-        return p
+        out = jnp.transpose(pT, (2, 1, 0))  # [B, P, E]
+        if self.flatten_output:
+            return out.reshape(inputs.shape[0], n_pairs * E)
+        return out
 
 
 def _stacked_init(base_init, n):
