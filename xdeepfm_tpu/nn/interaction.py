@@ -111,8 +111,8 @@ class BilinearInteraction(nn.Module):
         # (FiBiNET step 7.93 -> 3.27 ms at Criteo shapes, v5e-1).  Math is
         # identical to the reference's per-pair (W v_i) * v_j.
         xT = jnp.transpose(inputs, (2, 1, 0))  # [E, F, B]
-        viT = xT[:, np.array(row), :]  # [E, P, B]
-        vjT = xT[:, np.array(col), :]
+        viT = _pair_select(xT, row, F_)  # [E, P, B]
+        vjT = _pair_select(xT, col, F_)
         if self.bilinear_type == "all":
             W = self.param("bilinear_all", torch_linear_init, (E, E))
             pT = jnp.einsum("epb,ef->fpb", viT, W) * vjT
@@ -120,14 +120,20 @@ class BilinearInteraction(nn.Module):
             W = self.param(
                 "bilinear_each", _stacked_init(torch_linear_init, F_), (F_, E, E)
             )
-            Wi = W[np.array(row)]  # [P, E, E]
-            pT = jnp.einsum("epb,pef->fpb", viT, Wi) * vjT
+            # project every FIELD once (F small batched matmuls), then select
+            # pairs — a per-pair batched matmul reloads MXU weights P times
+            proj = jnp.einsum("efb,fen->nfb", xT, W)  # [E_out, F, B]
+            pT = _pair_select(proj, row, F_) * vjT
         elif self.bilinear_type == "interaction":
             W = self.param(
                 "bilinear_inter",
                 _stacked_init(torch_linear_init, n_pairs),
                 (n_pairs, E, E),
             )
+            # (a field-grouped [E, n_i*E] matmul per first-field was tried
+            # and measured SLOWER than this single batched einsum — 6.96 vs
+            # 6.51 ms FiBiNET step; 26 einsums + concat overhead beats the
+            # per-pair weight reloads it saves.  Do not retry.)
             pT = jnp.einsum("epb,pef->fpb", viT, W) * vjT
         else:
             raise NotImplementedError
@@ -135,6 +141,16 @@ class BilinearInteraction(nn.Module):
         if self.flatten_output:
             return out.reshape(inputs.shape[0], n_pairs * E)
         return out
+
+
+def _pair_select(xT, idx, F_):
+    """[E, F, B] -> [E, P, B] rows via a one-hot matmul instead of a static
+    gather: each field appears in ~F pairs, so the gather's BACKWARD is an
+    XLA scatter-add of P slices (serialized on TPU); as a matmul both
+    directions are single MXU contractions."""
+    m = np.zeros((len(idx), F_), np.float32)
+    m[np.arange(len(idx)), idx] = 1.0
+    return jnp.einsum("efb,pf->epb", xT, jnp.asarray(m))
 
 
 def _stacked_init(base_init, n):
@@ -297,9 +313,6 @@ class AFMLayer(nn.Module):
         E = self.in_features
         F_ = inputs.shape[1]
         row, col = _pair_indices(F_)
-        p = inputs[:, row, :]
-        q = inputs[:, col, :]
-        bi_interaction = p * q  # [B, P, E]
 
         attention_W = self.param(
             "attention_W", nn.initializers.glorot_normal(), (E, self.attention_factor)
@@ -314,17 +327,24 @@ class AFMLayer(nn.Module):
             "projection_p", nn.initializers.glorot_normal(), (E, 1)
         )
 
+        # Transposed [E, P, B] space (batch on lanes): the natural [B, P, E]
+        # layout pads E to 128 lanes and re-materializes ~13x the logical
+        # bytes per op at P = F(F-1)/2 pairs.  Math identical to the
+        # reference (interaction.py:296-317).
+        xT = jnp.transpose(inputs, (2, 1, 0))  # [E, F, B]
+        biT = _pair_select(xT, row, F_) * _pair_select(xT, col, F_)  # [E,P,B]
         attention_temp = nn.relu(
-            jnp.tensordot(bi_interaction, attention_W, axes=([-1], [0])) + attention_b
+            jnp.einsum("epb,ea->apb", biT, attention_W)
+            + attention_b[:, None, None]
         )
         att_score = nn.softmax(
-            jnp.tensordot(attention_temp, projection_h, axes=([-1], [0])), axis=1
-        )
-        attention_output = jnp.sum(att_score * bi_interaction, axis=1)
+            jnp.einsum("apb,ah->hpb", attention_temp, projection_h)[0], axis=0
+        )  # [P, B], softmax over pairs
+        attention_output = jnp.einsum("pb,epb->eb", att_score, biT)  # [E, B]
         attention_output = nn.Dropout(rate=self.dropout_rate)(
             attention_output, deterministic=not training
         )
-        return jnp.tensordot(attention_output, projection_p, axes=([-1], [0]))
+        return jnp.einsum("eb,eo->bo", attention_output, projection_p)
 
 
 class InteractingLayer(nn.Module):
@@ -484,12 +504,15 @@ class InnerProductLayer(nn.Module):
     def __call__(self, inputs):
         F_ = inputs.shape[1]
         row, col = _pair_indices(F_)
-        p = inputs[:, row, :]
-        q = inputs[:, col, :]
-        inner = p * q
         if self.reduce_sum:
-            inner = jnp.sum(inner, axis=2, keepdims=True)
-        return inner
+            # transposed [E, P, B] space + one-hot pair selection (see
+            # _pair_select / BilinearInteraction layout notes)
+            xT = jnp.transpose(inputs, (2, 1, 0))
+            innerT = jnp.sum(
+                _pair_select(xT, row, F_) * _pair_select(xT, col, F_), axis=0
+            )  # [P, B]
+            return jnp.transpose(innerT)[:, :, None]
+        return inputs[:, row, :] * inputs[:, col, :]
 
 
 class OutterProductLayer(nn.Module):
@@ -509,28 +532,31 @@ class OutterProductLayer(nn.Module):
         E = self.embedding_size
         num_pairs = F_ * (F_ - 1) // 2
         row, col = _pair_indices(F_)
-        p = inputs[:, row, :]  # [B, P, E]
-        q = inputs[:, col, :]
+        # transposed [E, P, B] space + one-hot pair selection (see
+        # _pair_select / BilinearInteraction layout notes)
+        xT = jnp.transpose(inputs, (2, 1, 0))
+        pT = _pair_select(xT, row, F_)  # [E, P, B]
+        qT = _pair_select(xT, col, F_)
         if self.kernel_type == "mat":
             kernel = self.param(
                 "kernel", nn.initializers.glorot_uniform(), (E, num_pairs, E)
             )
             # torch (interaction.py:630-660): tmp[b,e1,p] = sum_e2 p[b,p,e2] *
             # k[e1,p,e2]; out[b,p] = sum_e1 tmp[b,e1,p] * q[b,p,e1]
-            kp = jnp.einsum("bpe,fpe,bpf->bp", p, kernel, q)
+            kpT = jnp.einsum("epb,fpe,fpb->pb", pT, kernel, qT)
         elif self.kernel_type == "vec":
             kernel = self.param(
                 "kernel", nn.initializers.glorot_uniform(), (num_pairs, E)
             )
-            kp = jnp.sum(p * q * kernel[None], axis=-1)
+            kpT = jnp.einsum("epb,pe,epb->pb", pT, kernel, qT)
         elif self.kernel_type == "num":
             kernel = self.param(
                 "kernel", nn.initializers.glorot_uniform(), (num_pairs, 1)
             )
-            kp = jnp.sum(p * q * kernel[None], axis=-1)
+            kpT = jnp.sum(pT * qT, axis=0) * kernel  # [P, B] * [P, 1]
         else:
             raise ValueError(self.kernel_type)
-        return kp
+        return jnp.transpose(kpT)  # [B, P]
 
 
 class ConvLayer(nn.Module):
