@@ -51,7 +51,24 @@ def _softmax(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+_PRECISION = "fp32"
+
+
+def set_precision(name: str):
+    """'fp32' (default, exact) or 'bf16': cast dot OPERANDS to bf16 inside
+    the kernel (accumulation stays fp32).  The per-pair dots dominate the
+    attention-CIN step and fp32 MXU matmuls run as multi-pass bf16 emulation
+    on v5e, so bf16 operands trade ~3 input mantissa bits for ~2x on the
+    dominant cost.  Opt-in; quality must be A/B'd per model."""
+    global _PRECISION
+    assert name in ("fp32", "bf16")
+    _PRECISION = name
+
+
 def _dot(a, b, dims):
+    if _PRECISION == "bf16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32,
