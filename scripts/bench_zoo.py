@@ -51,7 +51,18 @@ def builders():
         "CCPM": lambda c: M.CCPM(c, sp(c)),
         "MLR": lambda c: M.MLR(c),
         "ONN": lambda c: M.ONN(c, c),
+        "xDeepFMPro": lambda c: _pro().xDeepFMPro(c, c),
+        "xDeepFMPro_autodis": lambda c: _pro().xDeepFMPro(
+            c, c, use_autodis=True
+        ),
+        "xDeepFMProLight": lambda c: _pro().xDeepFMProLight(c, c),
     }
+
+
+def _pro():
+    from xdeepfm_tpu import pro
+
+    return pro
 
 
 def special_models():
