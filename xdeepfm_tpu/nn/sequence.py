@@ -203,6 +203,14 @@ def _gru_param_init(hidden_size: int):
     return init
 
 
+def _valid_t(lengths, T, dtype):
+    """[B] lengths -> [T, 1, B] validity mask for transposed-space scans."""
+    return (
+        (jnp.arange(T)[:, None] < lengths.reshape(-1)[None, :])
+        .astype(dtype)[:, None, :]
+    )
+
+
 class GRU(nn.Module):
     """Standard GRU over padded sequences with packed-sequence semantics:
     hidden state freezes and outputs are zero past each row's length
@@ -211,99 +219,142 @@ class GRU(nn.Module):
     Weight init: normal(init_std) when ``init_std`` is set (the reference
     re-inits GRU weights this way, ``dien.py:190-192``); biases keep the torch
     default U(±1/sqrt(H)).
+
+    TPU layout: the input projection ``x_t @ W_ih^T`` is hoisted out of the
+    scan as ONE batched matmul over all T steps, and the recurrence runs in
+    transposed lane space ``[3H, B]`` (batch on the 128-lane axis) — the
+    per-step gate math is fully lane-packed instead of padding 3H≈30 lanes
+    to 128 on every elementwise op.
     """
 
     input_size: int
     hidden_size: int
     init_std: float = 0.001
 
-    @nn.compact
-    def __call__(self, inputs, lengths, h0=None):
-        B, T, _ = inputs.shape
+    def setup(self):
         H = self.hidden_size
         w_init = nn.initializers.normal(stddev=self.init_std)
         b_init = _gru_param_init(H)
-        w_ih = self.param("weight_ih", w_init, (3 * H, self.input_size))
-        w_hh = self.param("weight_hh", w_init, (3 * H, H))
-        b_ih = self.param("bias_ih", b_init, (3 * H,))
-        b_hh = self.param("bias_hh", b_init, (3 * H,))
-        if h0 is None:
-            h0 = jnp.zeros((B, H), dtype=inputs.dtype)
-        lengths = lengths.reshape(-1)
+        self.weight_ih = self.param("weight_ih", w_init, (3 * H, self.input_size))
+        self.weight_hh = self.param("weight_hh", w_init, (3 * H, H))
+        self.bias_ih = self.param("bias_ih", b_init, (3 * H,))
+        self.bias_hh = self.param("bias_hh", b_init, (3 * H,))
+
+    def __call__(self, inputs, lengths, h0=None):
+        B, T, _ = inputs.shape
+        h = (
+            jnp.zeros((self.hidden_size, B), dtype=inputs.dtype)
+            if h0 is None
+            else jnp.swapaxes(h0, 0, 1)
+        )
+        # hoisted input projection: one [T*B, I] x [I, 3H] matmul, laid out
+        # [T, 3H, B] so each scan slice is lane-packed
+        gi = (
+            jnp.einsum("bti,gi->tgb", inputs, self.weight_ih)
+            + self.bias_ih[None, :, None]
+        )
+        valid = _valid_t(lengths, T, inputs.dtype)
+        w_hh, b_hh = self.weight_hh, self.bias_hh
 
         def body(h, xs):
-            x_t, t = xs
-            gi = x_t @ w_ih.T + b_ih
-            gh = h @ w_hh.T + b_hh
-            i_r, i_z, i_n = jnp.split(gi, 3, axis=1)
-            h_r, h_z, h_n = jnp.split(gh, 3, axis=1)
+            gi_t, v = xs  # [3H, B], [1, B]
+            gh = w_hh @ h + b_hh[:, None]
+            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=0)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=0)
             r = nn.sigmoid(i_r + h_r)
             z = nn.sigmoid(i_z + h_z)
             n = jnp.tanh(i_n + r * h_n)
             h_new = (1.0 - z) * n + z * h
-            valid = (t < lengths).astype(h.dtype)[:, None]
-            h_out = valid * h_new + (1 - valid) * h
-            out_t = valid * h_out  # zero outputs at padded positions
+            h_out = v * h_new + (1 - v) * h
+            out_t = v * h_out  # zero outputs at padded positions
             return h_out, out_t
 
-        xs = (jnp.swapaxes(inputs, 0, 1), jnp.arange(T))
-        h_last, outs = jax.lax.scan(body, h0, xs)
-        return jnp.swapaxes(outs, 0, 1), h_last  # [B, T, H], [B, H]
+        h_last, outs = jax.lax.scan(body, h, (gi, valid))
+        return jnp.transpose(outs, (2, 0, 1)), jnp.swapaxes(h_last, 0, 1)
 
 
-class AGRUCell(nn.Module):
-    """Attention-based GRU: attention score replaces the update gate
-    (reference: ``sequence.py:192-235``)."""
+class _AttGRUCellBase(nn.Module):
+    """Shared parameter block for AGRU/AUGRU cells.  The batch-major
+    ``__call__`` keeps the reference cell API; ``project_t`` + ``step_t``
+    are the TPU fast path used by :class:`DynamicGRU` (input projection
+    hoisted out of the scan, recurrence in transposed ``[3H, B]`` space)."""
 
     input_size: int
     hidden_size: int
     use_bias: bool = True
 
-    @nn.compact
-    def __call__(self, inputs, hx, att_score):
+    def setup(self):
         H = self.hidden_size
         init = _gru_param_init(H)
-        w_ih = self.param("weight_ih", init, (3 * H, self.input_size))
-        w_hh = self.param("weight_hh", init, (3 * H, H))
-        gi = inputs @ w_ih.T
-        gh = hx @ w_hh.T
+        self.weight_ih = self.param("weight_ih", init, (3 * H, self.input_size))
+        self.weight_hh = self.param("weight_hh", init, (3 * H, H))
         if self.use_bias:
-            gi = gi + self.param("bias_ih", nn.initializers.zeros, (3 * H,))
-            gh = gh + self.param("bias_hh", nn.initializers.zeros, (3 * H,))
-        i_r, _, i_n = jnp.split(gi, 3, axis=1)
-        h_r, _, h_n = jnp.split(gh, 3, axis=1)
+            self.bias_ih = self.param(
+                "bias_ih", nn.initializers.zeros, (3 * H,)
+            )
+            self.bias_hh = self.param(
+                "bias_hh", nn.initializers.zeros, (3 * H,)
+            )
+
+    def project_t(self, inputs):
+        """[B, T, I] -> hoisted input gates [T, 3H, B] (one batched matmul)."""
+        gi = jnp.einsum("bti,gi->tgb", inputs, self.weight_ih)
+        if self.use_bias:
+            gi = gi + self.bias_ih[None, :, None]
+        return gi
+
+    def _gates_t(self, gi_t, h):
+        gh = self.weight_hh @ h
+        if self.use_bias:
+            gh = gh + self.bias_hh[:, None]
+        return jnp.split(gi_t, 3, axis=0), jnp.split(gh, 3, axis=0)
+
+    def _gates(self, inputs, hx):
+        gi = inputs @ self.weight_ih.T
+        gh = hx @ self.weight_hh.T
+        if self.use_bias:
+            gi = gi + self.bias_ih
+            gh = gh + self.bias_hh
+        return jnp.split(gi, 3, axis=1), jnp.split(gh, 3, axis=1)
+
+
+class AGRUCell(_AttGRUCellBase):
+    """Attention-based GRU: attention score replaces the update gate
+    (reference: ``sequence.py:192-235``)."""
+
+    def __call__(self, inputs, hx, att_score):
+        (i_r, _, i_n), (h_r, _, h_n) = self._gates(inputs, hx)
         reset_gate = nn.sigmoid(i_r + h_r)
         new_state = jnp.tanh(i_n + reset_gate * h_n)
         att = att_score.reshape(-1, 1)
         return (1.0 - att) * hx + att * new_state
 
+    def step_t(self, gi_t, h, att_t):
+        """gi_t [3H, B], h [H, B], att_t [1, B] -> new h [H, B]."""
+        (i_r, _, i_n), (h_r, _, h_n) = self._gates_t(gi_t, h)
+        reset_gate = nn.sigmoid(i_r + h_r)
+        new_state = jnp.tanh(i_n + reset_gate * h_n)
+        return (1.0 - att_t) * h + att_t * new_state
 
-class AUGRUCell(nn.Module):
+
+class AUGRUCell(_AttGRUCellBase):
     """GRU with attentional update gate (reference: ``sequence.py:238-282``)."""
 
-    input_size: int
-    hidden_size: int
-    use_bias: bool = True
-
-    @nn.compact
     def __call__(self, inputs, hx, att_score):
-        H = self.hidden_size
-        init = _gru_param_init(H)
-        w_ih = self.param("weight_ih", init, (3 * H, self.input_size))
-        w_hh = self.param("weight_hh", init, (3 * H, H))
-        gi = inputs @ w_ih.T
-        gh = hx @ w_hh.T
-        if self.use_bias:
-            gi = gi + self.param("bias_ih", nn.initializers.zeros, (3 * H,))
-            gh = gh + self.param("bias_hh", nn.initializers.zeros, (3 * H,))
-        i_r, i_z, i_n = jnp.split(gi, 3, axis=1)
-        h_r, h_z, h_n = jnp.split(gh, 3, axis=1)
+        (i_r, i_z, i_n), (h_r, h_z, h_n) = self._gates(inputs, hx)
         reset_gate = nn.sigmoid(i_r + h_r)
         update_gate = nn.sigmoid(i_z + h_z)
         new_state = jnp.tanh(i_n + reset_gate * h_n)
         att = att_score.reshape(-1, 1)
         update_gate = att * update_gate
         return (1.0 - update_gate) * hx + update_gate * new_state
+
+    def step_t(self, gi_t, h, att_t):
+        (i_r, i_z, i_n), (h_r, h_z, h_n) = self._gates_t(gi_t, h)
+        reset_gate = nn.sigmoid(i_r + h_r)
+        update_gate = att_t * nn.sigmoid(i_z + h_z)
+        new_state = jnp.tanh(i_n + reset_gate * h_n)
+        return (1.0 - update_gate) * h + update_gate * new_state
 
 
 class DynamicGRU(nn.Module):
@@ -312,6 +363,8 @@ class DynamicGRU(nn.Module):
 
     inputs [B, T, I], att_scores [B, T], lengths [B] -> outputs [B, T, H].
     Hidden state freezes for t >= length, matching packed-sequence semantics.
+    Runs the TPU transposed-lane-space path (see :class:`GRU`): input
+    projections hoisted to one batched matmul, per-step math in [3H, B].
     """
 
     input_size: int
@@ -329,27 +382,26 @@ class DynamicGRU(nn.Module):
 
     def __call__(self, inputs, att_scores, lengths, hx=None):
         B, T, _ = inputs.shape
-        if hx is None:
-            hx = jnp.zeros((B, self.hidden_size), dtype=inputs.dtype)
+        h = (
+            jnp.zeros((self.hidden_size, B), dtype=inputs.dtype)
+            if hx is None
+            else jnp.swapaxes(hx, 0, 1)
+        )
+        gi = self.rnn.project_t(inputs)  # [T, 3H, B]
+        att = jnp.swapaxes(att_scores, 0, 1)[:, None, :]  # [T, 1, B]
+        valid = _valid_t(lengths, T, inputs.dtype)
 
         scan_cell = nn.scan(
-            lambda cell, h, xs: _scan_body(cell, h, xs, lengths),
+            _scan_body_t,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
         )
-        _, outs = scan_cell(self.rnn, hx, (inputs, att_scores, _time_idx(B, T)))
-        return outs
+        _, outs = scan_cell(self.rnn, h, (gi, att, valid))
+        return jnp.transpose(outs, (2, 0, 1))  # [B, T, H]
 
 
-def _time_idx(B, T):
-    return jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-
-
-def _scan_body(cell, h, xs, lengths):
-    x_t, a_t, t = xs
-    h_new = cell(x_t, h, a_t)
-    valid = (t.reshape(-1) < lengths.reshape(-1)).astype(h.dtype)[:, None]
-    h_out = valid * h_new + (1 - valid) * h
+def _scan_body_t(cell, h, xs):
+    gi_t, a_t, v_t = xs
+    h_new = cell.step_t(gi_t, h, a_t)
+    h_out = v_t * h_new + (1 - v_t) * h
     return h_out, h_out
