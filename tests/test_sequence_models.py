@@ -122,3 +122,34 @@ def test_sequence_pooling_modes(rng):
         np.testing.assert_allclose(
             np.asarray(out)[2, 0], seq[2, 0], rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("gru_type", ["AGRU", "AUGRU"])
+def test_dynamic_gru_matches_cell_loop(rng, gru_type):
+    """DynamicGRU's transposed-lane scan == a Python loop over the reference
+    batch-major cell __call__ (same params), incl. frozen state past length."""
+    from xdeepfm_tpu.nn.sequence import AGRUCell, AUGRUCell, DynamicGRU
+
+    B, T, H = 5, 6, 3
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    att = jnp.asarray(rng.uniform(size=(B, T)).astype(np.float32))
+    lengths = jnp.asarray(np.array([6, 2, 1, 4, 5]))
+
+    dyn = DynamicGRU(input_size=H, hidden_size=H, gru_type=gru_type)
+    variables = dyn.init(jax.random.PRNGKey(0), x, att, lengths)
+    outs = dyn.apply(variables, x, att, lengths)
+
+    cell_cls = AGRUCell if gru_type == "AGRU" else AUGRUCell
+    cell = cell_cls(input_size=H, hidden_size=H)
+    cell_vars = {"params": variables["params"]["rnn"]}
+    h = jnp.zeros((B, H), jnp.float32)
+    ref = []
+    for t in range(T):
+        h_new = cell.apply(cell_vars, x[:, t, :], h, att[:, t])
+        valid = (t < lengths).astype(jnp.float32)[:, None]
+        h = valid * h_new + (1 - valid) * h
+        ref.append(h)
+    ref = jnp.stack(ref, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(outs), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
