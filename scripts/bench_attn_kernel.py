@@ -1,6 +1,6 @@
 """CIN-attention kernel microbench (ops/attention_pallas.small_attention).
 
-Times fwd and fwd+bwd at the xDeepFMAttention shapes: G = batch*heads pairs,
+Times fwd and fwd+bwd (dh-major [G, dh, S] operands) at the xDeepFMAttention shapes: G = batch*heads pairs,
 S = CIN feature maps + fields (~266), dh = emb/heads (~5).  Slope timing with
 chained dispatches (output feeds back as q) and a value fetch — see
 docs/DESIGN.md "Benchmarking through the device tunnel".
@@ -37,9 +37,9 @@ def main():
     from xdeepfm_tpu.ops.attention_pallas import small_attention
 
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(G, S, DH)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(G, S, DH)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(G, S, DH)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(G, DH, S)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(G, DH, S)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(G, DH, S)).astype(np.float32))
     scale = 1.0 / np.sqrt(DH)
 
     fwd = jax.jit(lambda q: small_attention(q, k, v, scale))

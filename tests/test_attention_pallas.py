@@ -21,6 +21,12 @@ def _xla_attn(q, k, v, scale):
     return jnp.einsum("gst,gtk->gsk", p, v)
 
 
+def _sa(q, k, v, scale):
+    """[G, S, dh] convenience wrapper over the dh-major kernel contract."""
+    t = lambda x: jnp.swapaxes(x, 1, 2)
+    return t(ap.small_attention(t(q), t(k), t(v), scale))
+
+
 @pytest.mark.parametrize("G,S,h,dh", [(4, 16, 1, 5), (6, 24, 2, 8)])
 def test_forward_matches_xla(rng, G, S, h, dh):
     q = jnp.asarray(rng.normal(size=(G, S, h * dh)).astype(np.float32))
@@ -29,7 +35,7 @@ def test_forward_matches_xla(rng, G, S, h, dh):
     scale = 1.0 / np.sqrt(dh)
     out = jnp.concatenate(
         [
-            ap.small_attention(
+            _sa(
                 q[..., j * dh : (j + 1) * dh],
                 k[..., j * dh : (j + 1) * dh],
                 v[..., j * dh : (j + 1) * dh],
@@ -61,7 +67,7 @@ def test_grads_match_xla(rng):
 
     def loss_p(q, k, v):
         outs = [
-            ap.small_attention(
+            _sa(
                 q[..., j * dh : (j + 1) * dh],
                 k[..., j * dh : (j + 1) * dh],
                 v[..., j * dh : (j + 1) * dh],

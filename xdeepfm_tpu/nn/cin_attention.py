@@ -15,7 +15,35 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .activations import make_activation
-from .interaction import cin_feature_maps, cin_featuremap_num, make_cin_params
+from .interaction import (
+    cin_feature_maps,
+    cin_feature_maps_t,
+    cin_featuremap_num,
+    make_cin_params,
+)
+
+
+class DenseT(nn.Module):
+    """``nn.Dense`` over the CHANNEL axis of a transposed [B, E, S] tensor
+    (param tree identical to ``nn.Dense``: kernel [in, out] + optional bias),
+    so linear layers consume lane-compact transposed activations directly."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.glorot_uniform()
+
+    @nn.compact
+    def __call__(self, x_t):
+        kernel = self.param(
+            "kernel", self.kernel_init, (x_t.shape[1], self.features)
+        )
+        y = jnp.einsum("bes,ef->bfs", x_t, kernel)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + bias[None, :, None]
+        return y
 
 
 def get_valid_num_heads(embed_dim: int, num_heads: int) -> int:
@@ -38,27 +66,50 @@ class MultiHeadSelfAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, transposed: bool = False):
+        """x: [B, S, E] batch-major, or [B, E, S] when ``transposed`` (S on
+        the lane axis — the layout the CIN-attention glue runs in)."""
         num_heads = get_valid_num_heads(self.embed_dim, self.num_heads)
         head_dim = self.embed_dim // num_heads
         scale = math.sqrt(head_dim)
-        B, S, E = x.shape
         glorot = nn.initializers.glorot_uniform()
-        dense = lambda name: nn.Dense(
-            E, use_bias=False, kernel_init=glorot, name=name
-        )
-        # q/k/v stay in the projections' natural [B, S, E] packed-head layout
-        # end to end (head transposes materialized ~11 ms/step of relayout
-        # copies at B=4096 on v5e, whichever side performed them)
+        if transposed:
+            B, E, S = x.shape
+            dense = lambda name: DenseT(
+                E, use_bias=False, kernel_init=glorot, name=name
+            )
+        else:
+            B, S, E = x.shape
+            dense = lambda name: nn.Dense(
+                E, use_bias=False, kernel_init=glorot, name=name
+            )
+        # q/k/v stay in the projections' packed-head layout end to end (head
+        # transposes materialized ~11 ms/step of relayout copies at B=4096 on
+        # v5e, whichever side performed them); in transposed form the
+        # [B, E, S] -> [B*heads, dh, S] head split is a free reshape
         Q = dense("W_q")(x)
         K = dense("W_k")(x)
         V = dense("W_v")(x)
         if self.dropout == 0.0 or not training:
             # fused VMEM-resident attention by default on single-chip TPU
             # (ops/attention_pallas.py), XLA einsums elsewhere
-            from ..ops.attention_pallas import mhsa_attention_packed
+            from ..ops.attention_pallas import (
+                mhsa_attention_packed,
+                mhsa_attention_packed_t,
+            )
 
-            out = mhsa_attention_packed(Q, K, V, 1.0 / scale, num_heads)
+            fn = mhsa_attention_packed_t if transposed else mhsa_attention_packed
+            out = fn(Q, K, V, 1.0 / scale, num_heads)
+        elif transposed:
+            Qr = Q.reshape(B, num_heads, head_dim, S)
+            Kr = K.reshape(B, num_heads, head_dim, S)
+            Vr = V.reshape(B, num_heads, head_dim, S)
+            scores = jnp.einsum("bhds,bhdt->bhst", Qr, Kr) / scale
+            probs = nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(rate=self.dropout)(
+                probs, deterministic=not training
+            )
+            out = jnp.einsum("bhst,bhdt->bhds", probs, Vr).reshape(B, E, S)
         else:
             Qr = Q.reshape(B, S, num_heads, head_dim)
             Kr = K.reshape(B, S, num_heads, head_dim)
@@ -80,9 +131,16 @@ class AttentionPooling(nn.Module):
     hidden_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, transposed: bool = False):
+        """x: [B, S, E], or [B, E, S] when ``transposed``.  Returns [B, E]."""
         hidden = self.hidden_dim or self.embed_dim
         glorot = nn.initializers.glorot_uniform()
+        if transposed:
+            h = DenseT(hidden, kernel_init=glorot, name="fc1")(x)
+            h = jnp.tanh(h)
+            scores = DenseT(1, use_bias=False, kernel_init=glorot, name="fc2")(h)
+            weights = nn.softmax(scores, axis=-1)  # [B, 1, S]
+            return jnp.einsum("bos,bes->be", weights, x)
         h = nn.Dense(
             hidden, kernel_init=glorot, bias_init=nn.initializers.zeros, name="fc1"
         )(x)
@@ -128,7 +186,11 @@ class CINAttention(nn.Module):
             name="mhsa",
         )
         if self.use_layer_norm:
-            self.layer_norm = nn.LayerNorm(name="layer_norm")
+            # normalize over the E axis of the transposed [B, E, S] block
+            # (same math/params as the reference's last-axis LN on [B, S, E])
+            self.layer_norm = nn.LayerNorm(
+                reduction_axes=-2, feature_axes=-2, name="layer_norm"
+            )
         self.attn_pooling = AttentionPooling(
             embed_dim=self.embedding_size,
             hidden_dim=self.embedding_size,
@@ -142,7 +204,13 @@ class CINAttention(nn.Module):
         )
 
     def __call__(self, inputs, training: bool = False):
-        result = cin_feature_maps(
+        # The whole block runs TRANSPOSED [B, E, S] (S on the 128-lane axis):
+        # the row-major CIN stack emits this layout for free, and none of the
+        # MHSA/residual/LN/pooling glue ever materializes the lane-padded
+        # batch-major [B, S, E<=16] tensor (13-26x HBM bytes per op at
+        # B=4096).  Measured with the dh-major kernel: xDeepFMAttention step
+        # 39.6 -> 23.8 ms, V2 73.7 -> 41.4 ms (v5e, batch 4096).
+        result = cin_feature_maps_t(
             inputs,
             self.kernels,
             self.biases,
@@ -150,13 +218,13 @@ class CINAttention(nn.Module):
             self.layer_size,
             self.split_half,
             training=training,
-        )  # [B, featuremap_num, E]
-        attn_output = self.mhsa(result, training=training)
+        )  # [B, E, featuremap_num]
+        attn_output = self.mhsa(result, training=training, transposed=True)
         if self.use_residual:
             attn_output = attn_output + result
         if self.use_layer_norm:
             attn_output = self.layer_norm(attn_output)
-        pooled = self.attn_pooling(attn_output)  # [B, E]
+        pooled = self.attn_pooling(attn_output, transposed=True)  # [B, E]
         return self.output_proj(pooled)  # [B, featuremap_num]
 
 
@@ -198,7 +266,10 @@ class CINAttentionV2(nn.Module):
         ]
         if self.use_layer_norm:
             self.layer_norms = [
-                nn.LayerNorm(name=f"ln_{i}") for i in range(self.num_attn_layers)
+                nn.LayerNorm(
+                    reduction_axes=-2, feature_axes=-2, name=f"ln_{i}"
+                )
+                for i in range(self.num_attn_layers)
             ]
         self.attn_pooling = AttentionPooling(
             embed_dim=self.embedding_size,
@@ -207,7 +278,8 @@ class CINAttentionV2(nn.Module):
         )
 
     def __call__(self, inputs, training: bool = False):
-        result = cin_feature_maps(
+        # transposed [B, E, S] end to end — see CINAttention.__call__
+        result = cin_feature_maps_t(
             inputs,
             self.kernels,
             self.biases,
@@ -217,10 +289,12 @@ class CINAttentionV2(nn.Module):
             training=training,
         )
         for i in range(self.num_attn_layers):
-            attn_output = self.mhsa_layers[i](result, training=training)
+            attn_output = self.mhsa_layers[i](
+                result, training=training, transposed=True
+            )
             if self.use_residual:
                 attn_output = attn_output + result
             if self.use_layer_norm:
                 attn_output = self.layer_norms[i](attn_output)
             result = attn_output
-        return self.attn_pooling(result)  # [B, E]
+        return self.attn_pooling(result, transposed=True)  # [B, E]

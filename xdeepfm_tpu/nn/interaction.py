@@ -246,6 +246,21 @@ def cin_feature_maps(
     return rows.reshape(B, D, -1).transpose(0, 2, 1)
 
 
+def cin_feature_maps_t(
+    inputs, kernels, biases, act, layer_size, split_half, training=False
+):
+    """Transposed feature maps [B, E, featuremap_num] — a FREE reshape of the
+    row-major CIN stack output (rows are (b, d)-major with the feature-map
+    axis minor), so the attention variants consume the maps with S on the
+    128-lane axis and never materialize the lane-padded [B, S, E<=16]
+    batch-major tensor (13-26x HBM bytes per op at Criteo shapes)."""
+    B, m, D = inputs.shape
+    rows = cin_feature_maps_rows(
+        inputs, kernels, biases, act, layer_size, split_half, training
+    )
+    return rows.reshape(B, D, -1)
+
+
 def cin_featuremap_num(layer_size, split_half):
     return (
         sum(layer_size[:-1]) // 2 + layer_size[-1]

@@ -16,13 +16,20 @@ STALLS the Mosaic compiler — unaligned 5-lane value slices; do not revisit
 without checking Mosaic first.  Numerically exact fp32 — tighter than the XLA
 path's default single-pass-bf16 matmuls.  Design:
 
+* operands are **dh-major** ``[G, dh, S]``: S rides the 128-lane axis (266 →
+  384, 1.44x pad) instead of dh (5 → 128, **25.6x pad**).  The original
+  [G, S, dh] layout made every HBM operand ~1.1 GB for 43.6 MB of payload —
+  ~4.4 GB of traffic per forward — and that, not the in-kernel math, was the
+  measured floor (in that layout a bf16-dots variant and an MXU-sum/
+  folded-normalizer softmax variant were both NEUTRAL at ±3%; 2026-08-19).
+  dh-major measured fwd 10.67 → 5.45 ms, fwd+bwd 22.57 → 14.47 ms on the
+  microbench (scripts/bench_attn_kernel.py); on dh-major the MXU-sum softmax
+  REGRESSES (see ``_softmax``),
 * one grid program handles a tile of Bt (batch*head) pairs; per pair the
-  score/prob [S, S] lives only in registers/VMEM,
-* every contraction is a single MXU dot_general straight from the [S, dh]
-  operands (no host-side transposes; dh pads to the 128 lane tile — 25x pad
-  waste, but the MXU has throughput to spare at these sizes),
+  score/prob [S, S] lives only in registers/VMEM; every contraction is a
+  single MXU dot_general over the leading dh axis,
 * the backward recomputes the softmax (flash-style) so HBM traffic is just
-  q/k/v/g and the output gradients at [G, S, dh].
+  q/k/v/g and the input gradients at [G, dh, S].
 
 All math is fp32 (preferred_element_type) — tighter than the XLA path's
 default single-pass-bf16 matmuls.
@@ -46,6 +53,9 @@ def set_interpret(flag: bool):
 
 
 def _softmax(s):
+    # NOTE: moving the row-sum to the MXU (e @ ones) REGRESSED (fwd 5.45 ->
+    # 6.07 ms): a [S,S]@[S,1] dot pads its output to 128 lanes and costs a
+    # full MXU tile pass.  Lane-axis reduction trees stay on the VPU.
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=-1, keepdims=True)
@@ -76,23 +86,24 @@ def _dot(a, b, dims):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, Bt):
+    # operands [Bt, dh, S]; scores/probs [S(query i), S(key j)]
     for b in range(Bt):
-        q = q_ref[b]  # [S, dh]
-        s = _dot(q, k_ref[b], ((1,), (1,))) * scale  # q k^T  [S, S]
+        q = q_ref[b]  # [dh, S]
+        s = _dot(q, k_ref[b], ((0,), (0,))) * scale  # q^T k    [S, S]
         p = _softmax(s)
-        o_ref[b] = _dot(p, v_ref[b], ((1,), (0,)))  # p v    [S, dh]
+        o_ref[b] = _dot(v_ref[b], p, ((1,), (1,)))   # v p^T    [dh, S]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                 scale, Bt):
     for b in range(Bt):
-        q, k, v, g = q_ref[b], k_ref[b], v_ref[b], g_ref[b]
-        p = _softmax(_dot(q, k, ((1,), (1,))) * scale)  # recompute, VMEM-only
-        dv_ref[b] = _dot(p, g, ((0,), (0,)))            # p^T g   [S, dh]
-        dp = _dot(g, v, ((1,), (1,)))                   # g v^T   [S, S]
+        q, k, v, g = q_ref[b], k_ref[b], v_ref[b], g_ref[b]  # [dh, S]
+        p = _softmax(_dot(q, k, ((0,), (0,))) * scale)  # recompute, VMEM-only
+        dv_ref[b] = _dot(g, p, ((1,), (0,)))            # g p      [dh, S]
+        dp = _dot(g, v, ((0,), (0,)))                   # g^T v    [S, S]
         ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p * scale
-        dq_ref[b] = _dot(ds, k, ((1,), (0,)))           # ds k    [S, dh]
-        dk_ref[b] = _dot(ds, q, ((0,), (0,)))           # ds^T q  [S, dh]
+        dq_ref[b] = _dot(k, ds, ((1,), (1,)))           # k ds^T   [dh, S]
+        dk_ref[b] = _dot(q, ds, ((1,), (0,)))           # q ds     [dh, S]
 
 
 def _pick_bt(G, S):
@@ -107,20 +118,21 @@ def _pick_bt(G, S):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def small_attention(q, k, v, scale):
-    """softmax(q k^T * scale) v for [G, S, dh]; scores never leave VMEM."""
+    """softmax(q^T k * scale) applied to v for dh-major [G, dh, S] operands
+    (S on lanes); returns [G, dh, S].  Scores never leave VMEM."""
     out, _ = _sa_fwd(q, k, v, scale)
     return out
 
 
 def _sa_fwd(q, k, v, scale):
-    G, S, dh = q.shape
+    G, dh, S = q.shape
     Bt = _pick_bt(G, S)
-    sd = pl.BlockSpec((Bt, S, dh), lambda i: (i, 0, 0),
+    sd = pl.BlockSpec((Bt, dh, S), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, scale=scale, Bt=Bt)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((G, S, dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
         grid=(G // Bt,),
         in_specs=[sd, sd, sd],
         out_specs=sd,
@@ -134,17 +146,17 @@ def _sa_fwd(q, k, v, scale):
 
 def _sa_bwd(scale, res, g):
     q, k, v = res
-    G, S, dh = q.shape
+    G, dh, S = q.shape
     Bt = _pick_bt(G, S)
-    sd = pl.BlockSpec((Bt, S, dh), lambda i: (i, 0, 0),
+    sd = pl.BlockSpec((Bt, dh, S), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, scale=scale, Bt=Bt)
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((G, S, dh), jnp.float32),
-            jax.ShapeDtypeStruct((G, S, dh), jnp.float32),
-            jax.ShapeDtypeStruct((G, S, dh), jnp.float32),
+            jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
+            jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
+            jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
         ),
         grid=(G // Bt,),
         in_specs=[sd, sd, sd, sd],
@@ -192,16 +204,17 @@ def mhsa_attention_packed(Q, K, V, scale, heads, backend: str = "auto"):
         except Exception:
             be = "xla"
     if be == "pallas" or _INTERPRET:
+        # dh-major [G, dh, S] kernel operands: compact in HBM (S on lanes)
         perm = lambda x: (
             x.reshape(B, S, heads, dh)
-            .transpose(0, 2, 1, 3)
-            .reshape(B * heads, S, dh)
+            .transpose(0, 2, 3, 1)
+            .reshape(B * heads, dh, S)
             .astype(jnp.float32)
         )
         out = small_attention(perm(Q), perm(K), perm(V), float(scale))
         return (
-            out.reshape(B, heads, S, dh)
-            .transpose(0, 2, 1, 3)
+            out.reshape(B, heads, dh, S)
+            .transpose(0, 3, 1, 2)
             .reshape(B, S, E)
         )
     Qr = Q.reshape(B, S, heads, dh)
@@ -210,3 +223,32 @@ def mhsa_attention_packed(Q, K, V, scale, heads, backend: str = "auto"):
     scores = jnp.einsum("bshd,bthd->bhst", Qr, Kr) * scale
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhst,bthd->bshd", probs, Vr).reshape(B, S, E)
+
+
+def mhsa_attention_packed_t(Q, K, V, scale, heads, backend: str = "auto"):
+    """Attention over TRANSPOSED packed-head operands [B, E, S] (E = heads*dh,
+    S on lanes).  The head split is a free reshape here — [B, E, S] →
+    [B*heads, dh, S] is exactly the kernel's dh-major contract, so unlike the
+    batch-major entry point there are NO relayout transposes on either side."""
+    B, E, S = Q.shape
+    dh = E // heads
+    be = _MHSA_BACKEND if backend == "auto" else backend
+    if be == "auto":
+        try:
+            be = (
+                "pallas"
+                if jax.default_backend() == "tpu" and len(jax.devices()) == 1
+                else "xla"
+            )
+        except Exception:
+            be = "xla"
+    if be == "pallas" or _INTERPRET:
+        perm = lambda x: x.reshape(B * heads, dh, S).astype(jnp.float32)
+        out = small_attention(perm(Q), perm(K), perm(V), float(scale))
+        return out.reshape(B, E, S)
+    Qr = Q.reshape(B, heads, dh, S)
+    Kr = K.reshape(B, heads, dh, S)
+    Vr = V.reshape(B, heads, dh, S)
+    scores = jnp.einsum("bhds,bhdt->bhst", Qr, Kr) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhdt->bhds", probs, Vr).reshape(B, E, S)
