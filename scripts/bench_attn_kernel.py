@@ -34,7 +34,11 @@ def main():
     except Exception:
         pass
 
+    from xdeepfm_tpu.ops import attention_pallas
     from xdeepfm_tpu.ops.attention_pallas import small_attention
+
+    prec = os.environ.get("BENCH_ATTN_PREC", "fp32")
+    attention_pallas.set_precision(prec)
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(G, DH, S)).astype(np.float32))
@@ -70,6 +74,7 @@ def main():
     t_fb = slope(fwd_bwd)
     print(json.dumps({
         "shape": f"G{G} S{S} dh{DH}",
+        "precision": prec,
         "fwd_ms": round(t_f * 1e3, 3),
         "fwd_bwd_ms": round(t_fb * 1e3, 3),
     }), flush=True)
