@@ -31,6 +31,7 @@ def make_data(n=256, n_sparse=4, n_dense=3, vocab=8, seed=0):
         dict(use_sfg=True, sfg_positive_only=False, sfg_use_label_attention=False),
         dict(use_sfg=False),
         dict(use_sfg=True, use_autodis=True, autodis_buckets=4),
+        dict(use_sfg=True, sfg_fused_ce=True),  # large-vocab remat'd CE path
     ],
 )
 def test_pro_trains(kwargs):
@@ -101,3 +102,49 @@ def test_autodis_softmax_weights():
     idx = layer.bucket_indices(x, variables)
     assert idx.shape == (6, 3)
     assert np.all((np.asarray(idx) >= 0) & (np.asarray(idx) < 4))
+
+
+def test_ce_rows_matches_materialized_heads():
+    """SFGDecoder.ce_rows (fused remat'd heads+CE) == __call__ + sfg_loss."""
+    import jax
+
+    from xdeepfm_tpu.pro.sfg import SFGDecoder, sfg_loss_rows
+
+    rng = np.random.default_rng(3)
+    B, F, E, D = 16, 3, 4, 2
+    vocabs = (("C0", 7), ("C1", 5), ("C2", 9))
+    emb = jnp.asarray(rng.normal(size=(B, F, E)).astype(np.float32))
+    dense = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32))
+    targets = {
+        name: jnp.asarray(rng.integers(0, v, B)) for name, v in vocabs
+    }
+    dec = SFGDecoder(
+        embedding_dim=E, sparse_vocab_sizes=vocabs, num_dense=D,
+        hidden_units=(8, 6), dropout_rate=0.0,
+    )
+    variables = dec.init(jax.random.PRNGKey(0), emb, dense, labels)
+
+    logits, dense_preds = dec.apply(variables, emb, dense, labels)
+    want = sfg_loss(logits, dense_preds, targets, dense, labels,
+                    positive_only=True)
+
+    def fused(emb):
+        ll, dp = dec.apply(
+            variables, emb, dense, targets, labels, method=SFGDecoder.ce_rows
+        )
+        return sfg_loss_rows(ll, dp, dense, labels, positive_only=True)
+
+    got = fused(emb)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
+    # gradients flow through the remat'd path and match the materialized one
+    g_fused = jax.grad(fused)(emb)
+
+    def materialized(emb):
+        logits, dp = dec.apply(variables, emb, dense, labels)
+        return sfg_loss(logits, dp, targets, dense, labels, positive_only=True)
+
+    g_mat = jax.grad(materialized)(emb)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_mat), rtol=1e-4, atol=1e-6
+    )

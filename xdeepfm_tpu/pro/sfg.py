@@ -48,12 +48,33 @@ class LabelAwareAttention(nn.Module):
         return nn.sigmoid(h)
 
 
+def _head_ce_rows(head, h, targets):
+    """Per-row cross-entropy of one vocab-sized softmax head, computed from
+    the shared hidden state.  Wrapped in ``nn.remat`` below so the [B, vocab]
+    logits (164 MB/head at B=4096, vocab 10k) are a transient of BOTH passes
+    instead of autodiff-saved residuals — at 26 Criteo heads that saved
+    ~4.3 GB of HBM round-trips per step for one extra head matmul in the
+    backward."""
+    logits = head(h)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logits, targets[:, None], axis=-1
+    ).reshape(-1)
+    return logz - picked
+
+
+_head_ce_rows_remat = nn.remat(_head_ce_rows)
+
+
 class SFGDecoder(nn.Module):
     """Shared MLP -> per-sparse-feature softmax heads + one dense regression
     head (reference ``sfg_decoder.py:19-157``).
 
     Input: sparse embeddings [B, F, E], dense values [B, D], labels [B, 1].
-    Returns (sparse_logits dict, dense_preds [B, D]).
+    ``__call__`` returns (sparse_logits dict, dense_preds [B, D]) as in the
+    reference; the training path uses :meth:`ce_rows`, which fuses each head
+    with its cross-entropy under rematerialization so the vocab-sized logits
+    never persist in HBM.
     """
 
     embedding_dim: int
@@ -63,53 +84,94 @@ class SFGDecoder(nn.Module):
     dropout_rate: float = 0.1
     use_label_aware_attention: bool = True
 
-    @nn.compact
-    def __call__(self, sparse_embeddings, dense_values, labels=None,
-                 training: bool = False):
-        B = sparse_embeddings.shape[0]
-        sparse_concat = sparse_embeddings.reshape(B, -1)
-        decoder_input = jnp.concatenate([sparse_concat, dense_values], axis=-1)
-        input_dim = decoder_input.shape[-1]
-
-        if self.use_label_aware_attention and labels is not None:
-            gate = LabelAwareAttention(
-                input_dim=input_dim,
+    def setup(self):
+        if self.use_label_aware_attention:
+            self.label_attention = LabelAwareAttention(
+                input_dim=self._input_dim(),
                 hidden_dim=self.hidden_units[0] if self.hidden_units else 64,
                 name="label_attention",
-            )(decoder_input, labels)
-            decoder_input = decoder_input * gate
-
-        h = decoder_input
-        prev = input_dim
+            )
+        prev = self._input_dim()
+        shared = []
         for i, units in enumerate(self.hidden_units):
-            h = nn.Dense(
-                units,
-                kernel_init=torch_linear_init,
-                bias_init=torch_bias_init(prev),
-                name=f"shared_{i}",
-            )(h)
-            h = nn.relu(h)
-            h = nn.Dropout(rate=self.dropout_rate)(h, deterministic=not training)
+            shared.append(
+                nn.Dense(
+                    units,
+                    kernel_init=torch_linear_init,
+                    bias_init=torch_bias_init(prev),
+                    name=f"shared_{i}",
+                )
+            )
             prev = units
-
-        sparse_logits = {}
-        for name, vocab in self.sparse_vocab_sizes:
-            sparse_logits[name] = nn.Dense(
+        self.shared_layers = shared
+        self.shared_dropouts = [
+            nn.Dropout(rate=self.dropout_rate) for _ in self.hidden_units
+        ]
+        self.heads = [
+            nn.Dense(
                 vocab,
                 kernel_init=torch_linear_init,
                 bias_init=torch_bias_init(prev),
                 name=f"head_{name}",
-            )(h)
+            )
+            for name, vocab in self.sparse_vocab_sizes
+        ]
         if self.num_dense > 0:
-            dense_preds = nn.Dense(
+            self.dense_head = nn.Dense(
                 self.num_dense,
                 kernel_init=torch_linear_init,
                 bias_init=torch_bias_init(prev),
                 name="dense_head",
-            )(h)
-        else:
-            dense_preds = jnp.zeros((B, 0))
+            )
+
+    def _input_dim(self):
+        return (
+            len(self.sparse_vocab_sizes) * self.embedding_dim + self.num_dense
+        )
+
+    def hidden(self, sparse_embeddings, dense_values, labels=None,
+               training: bool = False):
+        """Shared trunk: concat -> optional label-aware gate -> MLP."""
+        B = sparse_embeddings.shape[0]
+        sparse_concat = sparse_embeddings.reshape(B, -1)
+        decoder_input = jnp.concatenate([sparse_concat, dense_values], axis=-1)
+        if self.use_label_aware_attention and labels is not None:
+            gate = self.label_attention(decoder_input, labels)
+            decoder_input = decoder_input * gate
+        h = decoder_input
+        for layer, drop in zip(self.shared_layers, self.shared_dropouts):
+            h = layer(h)
+            h = nn.relu(h)
+            h = drop(h, deterministic=not training)
+        return h
+
+    def __call__(self, sparse_embeddings, dense_values, labels=None,
+                 training: bool = False):
+        B = sparse_embeddings.shape[0]
+        h = self.hidden(sparse_embeddings, dense_values, labels, training)
+        sparse_logits = {}
+        for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
+            sparse_logits[name] = head(h)
+        dense_preds = (
+            self.dense_head(h) if self.num_dense > 0 else jnp.zeros((B, 0))
+        )
         return sparse_logits, dense_preds
+
+    def ce_rows(self, sparse_embeddings, dense_values, sparse_targets,
+                labels=None, training: bool = False):
+        """Fused heads+CE: {name: per-row -log p(target)} and dense_preds,
+        with each head's logits rematerialized in the backward."""
+        B = sparse_embeddings.shape[0]
+        h = self.hidden(sparse_embeddings, dense_values, labels, training)
+        ll_rows = {}
+        for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
+            ll_rows[name] = _head_ce_rows_remat(
+                head, h, sparse_targets[name].reshape(-1)
+            )
+        dense_preds = (
+            self.dense_head(h) if self.num_dense > 0 else jnp.zeros((B, 0))
+        )
+        return ll_rows, dense_preds
 
 
 def sfg_loss(
@@ -149,6 +211,43 @@ def sfg_loss(
         ll = logz - jnp.take_along_axis(
             logits, targets[:, None], axis=-1
         ).reshape(-1)
+        total_sparse = total_sparse + jnp.sum(ll * pos_mask) / num_positive
+    total_dense = jnp.zeros(())
+    if dense_preds.shape[-1] > 0:
+        mse = jnp.mean((dense_preds - dense_targets) ** 2, axis=-1)
+        total_dense = jnp.sum(mse * pos_mask) / num_positive
+    return sparse_weight * total_sparse + dense_weight * total_dense
+
+
+def sfg_loss_rows(
+    ll_rows: Dict[str, jnp.ndarray],
+    dense_preds,
+    dense_targets,
+    labels,
+    sample_mask=None,
+    positive_only: bool = True,
+    sparse_weight: float = 1.0,
+    dense_weight: float = 1.0,
+):
+    """:func:`sfg_loss` with the per-feature CE already reduced to per-row
+    values (the :meth:`SFGDecoder.ce_rows` fused path).  Identical masking and
+    normalization semantics (reference ``sfg_decoder.py:240-311``)."""
+    labels = labels.reshape(-1)
+    if positive_only:
+        pos_mask = (labels == 1).astype(jnp.float32)
+    else:
+        pos_mask = jnp.ones_like(labels, dtype=jnp.float32)
+    if sample_mask is not None:
+        pos_mask = pos_mask * sample_mask.reshape(-1)
+    if positive_only:
+        num_positive = jnp.sum(pos_mask) + 1e-8
+    else:
+        num_positive = (
+            jnp.sum(sample_mask) if sample_mask is not None else labels.shape[0]
+        )
+
+    total_sparse = jnp.zeros(())
+    for ll in ll_rows.values():
         total_sparse = total_sparse + jnp.sum(ll * pos_mask) / num_positive
     total_dense = jnp.zeros(())
     if dense_preds.shape[-1] > 0:

@@ -27,7 +27,7 @@ from ..features import (
 from ..nn.core import DNN, PredictionLayer, torch_linear_init
 from ..nn.interaction import CIN
 from .autodis import DenseFeatureEncoder
-from .sfg import SFGDecoder, sfg_loss
+from .sfg import SFGDecoder, sfg_loss, sfg_loss_rows
 
 
 class XDeepFMProModule(nn.Module):
@@ -53,6 +53,13 @@ class XDeepFMProModule(nn.Module):
     sfg_dropout: float = 0.1
     sfg_positive_only: bool = True
     sfg_use_label_attention: bool = True
+    # 'auto': fuse each SFG head with its CE under remat when the
+    # materialized per-step logits (B * sum(vocab) fp32) would crowd HBM —
+    # the fused path is ~25% SLOWER at bench shapes (measured 38.2 -> 48.4
+    # ms at 4.3 GB of logits; XLA schedules the materialized heads well) but
+    # is the only path that FITS at production vocab sizes (B=4096 x 26 x
+    # 1M-vocab heads would materialize >400 GB).  True/False force it.
+    sfg_fused_ce: object = "auto"
     # AutoDis
     use_autodis: bool = False
     autodis_buckets: int = 16
@@ -173,18 +180,40 @@ class XDeepFMProModule(nn.Module):
                 if dense_vals is not None
                 else jnp.zeros((sparse_stack.shape[0], 0))
             )
-            sparse_logits, dense_preds = self.sfg_decoder(
-                sparse_stack, dv, labels, training=training
-            )
-            loss = sfg_loss(
-                sparse_logits,
-                dense_preds,
-                sparse_targets,
-                dense_targets,
-                labels,
-                sample_mask=batch.get("sample_mask"),
-                positive_only=self.sfg_positive_only,
-            )
+            fused = self.sfg_fused_ce
+            if fused == "auto":
+                logits_bytes = (
+                    4
+                    * sparse_stack.shape[0]
+                    * sum(v for _, v in self.sfg_decoder.sparse_vocab_sizes)
+                )
+                fused = logits_bytes > 8 * 1024**3
+            if fused:
+                ll_rows, dense_preds = self.sfg_decoder.ce_rows(
+                    sparse_stack, dv, sparse_targets, labels,
+                    training=training,
+                )
+                loss = sfg_loss_rows(
+                    ll_rows,
+                    dense_preds,
+                    dense_targets,
+                    labels,
+                    sample_mask=batch.get("sample_mask"),
+                    positive_only=self.sfg_positive_only,
+                )
+            else:
+                sparse_logits, dense_preds = self.sfg_decoder(
+                    sparse_stack, dv, labels, training=training
+                )
+                loss = sfg_loss(
+                    sparse_logits,
+                    dense_preds,
+                    sparse_targets,
+                    dense_targets,
+                    labels,
+                    sample_mask=batch.get("sample_mask"),
+                    positive_only=self.sfg_positive_only,
+                )
             if training:
                 out["aux_loss"] = self.sfg_weight * loss
                 out["logs"] = {"sfg_loss": loss}
@@ -203,6 +232,7 @@ class xDeepFMPro(BaseModel):
         task="binary", device=None, gpus=None,
         use_sfg=True, sfg_weight=0.1, sfg_hidden_units=(128, 64),
         sfg_dropout=0.1, sfg_positive_only=True, sfg_use_label_attention=True,
+        sfg_fused_ce="auto",
         use_autodis=False, autodis_buckets=16, autodis_temperature=1.0,
     ):
         super().__init__(
@@ -223,6 +253,7 @@ class xDeepFMPro(BaseModel):
         self.sfg_dropout = sfg_dropout
         self.sfg_positive_only = sfg_positive_only
         self.sfg_use_label_attention = sfg_use_label_attention
+        self.sfg_fused_ce = sfg_fused_ce
         self.use_autodis = use_autodis
         self.autodis_buckets = autodis_buckets
         self.autodis_temperature = autodis_temperature
@@ -262,6 +293,7 @@ class xDeepFMPro(BaseModel):
             sfg_dropout=self.sfg_dropout,
             sfg_positive_only=self.sfg_positive_only,
             sfg_use_label_attention=self.sfg_use_label_attention,
+            sfg_fused_ce=self.sfg_fused_ce,
             use_autodis=self.use_autodis,
             autodis_buckets=self.autodis_buckets,
             autodis_temperature=self.autodis_temperature,
