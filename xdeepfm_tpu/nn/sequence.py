@@ -203,6 +203,17 @@ def _gru_param_init(hidden_size: int):
     return init
 
 
+# Unroll factor for the recurrent scans: a DIEN-shaped scan step is tens of
+# microseconds of fixed loop overhead around ~1 MB of work, so unrolling
+# amortizes the loop and lets XLA fuse across steps.
+_SCAN_UNROLL = 10
+
+
+def set_scan_unroll(n: int):
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = max(1, int(n))
+
+
 def _valid_t(lengths, T, dtype):
     """[B] lengths -> [T, 1, B] validity mask for transposed-space scans."""
     return (
@@ -269,7 +280,9 @@ class GRU(nn.Module):
             out_t = v * h_out  # zero outputs at padded positions
             return h_out, out_t
 
-        h_last, outs = jax.lax.scan(body, h, (gi, valid))
+        h_last, outs = jax.lax.scan(
+            body, h, (gi, valid), unroll=_SCAN_UNROLL
+        )
         return jnp.transpose(outs, (2, 0, 1)), jnp.swapaxes(h_last, 0, 1)
 
 
@@ -395,6 +408,7 @@ class DynamicGRU(nn.Module):
             _scan_body_t,
             variable_broadcast="params",
             split_rngs={"params": False},
+            unroll=_SCAN_UNROLL,
         )
         _, outs = scan_cell(self.rnn, h, (gi, att, valid))
         return jnp.transpose(outs, (2, 0, 1))  # [B, T, H]
