@@ -148,3 +148,79 @@ def test_ce_rows_matches_materialized_heads():
     np.testing.assert_allclose(
         np.asarray(g_fused), np.asarray(g_mat), rtol=1e-4, atol=1e-6
     )
+
+
+def test_ce_rows_pallas_matches_materialized_heads():
+    """SFGDecoder.ce_rows(impl='pallas') — the flash-CE kernel — matches the
+    materialized-heads path in value AND in gradients w.r.t. embeddings and
+    the head kernels/biases (interpret mode, fp32)."""
+    from xdeepfm_tpu.ops import ce_pallas
+    from xdeepfm_tpu.pro.sfg import SFGDecoder, sfg_loss_rows
+
+    ce_pallas.set_interpret(True)
+    old_prec = ce_pallas._PRECISION
+    ce_pallas.set_precision("fp32")
+    try:
+        rng = np.random.default_rng(7)
+        B, F, E, D = 16, 3, 4, 2
+        vocabs = (("C0", 7), ("C1", 5), ("C2", 9))
+        emb = jnp.asarray(rng.normal(size=(B, F, E)).astype(np.float32))
+        dense = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32))
+        targets = {
+            name: jnp.asarray(rng.integers(0, v, B)) for name, v in vocabs
+        }
+        dec = SFGDecoder(
+            embedding_dim=E, sparse_vocab_sizes=vocabs, num_dense=D,
+            hidden_units=(8, 6), dropout_rate=0.0,
+        )
+        variables = dec.init(jax.random.PRNGKey(0), emb, dense, labels)
+
+        def loss_with(impl):
+            def f(variables, emb):
+                ll, dp = dec.apply(
+                    variables, emb, dense, targets, labels,
+                    method=SFGDecoder.ce_rows, impl=impl,
+                )
+                return sfg_loss_rows(ll, dp, dense, labels, positive_only=True)
+            return f
+
+        want = loss_with("remat")(variables, emb)
+        got = loss_with("pallas")(variables, emb)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
+
+        gv_p, ge_p = jax.grad(loss_with("pallas"), argnums=(0, 1))(variables, emb)
+        gv_r, ge_r = jax.grad(loss_with("remat"), argnums=(0, 1))(variables, emb)
+        np.testing.assert_allclose(
+            np.asarray(ge_p), np.asarray(ge_r), rtol=1e-4, atol=1e-6
+        )
+        flat_p = jax.tree_util.tree_leaves_with_path(gv_p)
+        flat_r = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(gv_r)}
+        for k, v in flat_p:
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+                rtol=1e-4, atol=1e-6, err_msg=jax.tree_util.keystr(k),
+            )
+    finally:
+        ce_pallas.set_interpret(False)
+        ce_pallas.set_precision(old_prec)
+
+
+def test_pro_trains_pallas_ce():
+    """End-to-end xDeepFMPro fit with sfg_fused_ce='pallas' (interpret)."""
+    from xdeepfm_tpu.ops import ce_pallas
+
+    ce_pallas.set_interpret(True)
+    try:
+        x, y, cols = make_data(n=64)
+        model = xDeepFMPro(
+            cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4, 4),
+            sfg_hidden_units=(8,), use_sfg=True, sfg_fused_ce="pallas",
+        )
+        model.compile("adam", "binary_crossentropy", metrics=["logloss"])
+        hist = model.fit(x, y, batch_size=32, epochs=2, verbose=0)
+        assert "sfg_loss" in hist.history
+        assert np.isfinite(hist.history["loss"][-1])
+    finally:
+        ce_pallas.set_interpret(False)

@@ -61,6 +61,18 @@ def _softmax(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _softmax_unnorm(s, scale):
+    # Deferred-normalizer softmax: returns (e, inv_z) with
+    # softmax(s*scale) == e * inv_z (row broadcast).  The kernel is VPU-pass
+    # bound over the [S, S] block, so the scale multiply folds into the
+    # subtract+exp pass (max commutes with the positive scale) and the
+    # normalizing divide moves to the [dh, S] output / [S, 1] vector —
+    # one fewer full [S, S] pass than `_softmax` per call site.
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp((s - m) * scale)
+    return e, 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+
+
 _PRECISION = "fp32"
 
 
@@ -89,19 +101,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, Bt):
     # operands [Bt, dh, S]; scores/probs [S(query i), S(key j)]
     for b in range(Bt):
         q = q_ref[b]  # [dh, S]
-        s = _dot(q, k_ref[b], ((0,), (0,))) * scale  # q^T k    [S, S]
-        p = _softmax(s)
-        o_ref[b] = _dot(v_ref[b], p, ((1,), (1,)))   # v p^T    [dh, S]
+        s = _dot(q, k_ref[b], ((0,), (0,)))          # q^T k    [S, S]
+        e, inv_z = _softmax_unnorm(s, scale)
+        o = _dot(v_ref[b], e, ((1,), (1,)))          # v e^T    [dh, S]
+        o_ref[b] = o * inv_z.reshape(1, -1)          # normalize on [dh, S]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                 scale, Bt):
     for b in range(Bt):
         q, k, v, g = q_ref[b], k_ref[b], v_ref[b], g_ref[b]  # [dh, S]
-        p = _softmax(_dot(q, k, ((0,), (0,))) * scale)  # recompute, VMEM-only
-        dv_ref[b] = _dot(g, p, ((1,), (0,)))            # g p      [dh, S]
+        # recompute, VMEM-only; p == e * inv_z (row broadcast), never formed
+        e, inv_z = _softmax_unnorm(_dot(q, k, ((0,), (0,))), scale)
+        gz = g * inv_z.reshape(1, -1)                   # [dh, S] pass
+        dv_ref[b] = _dot(gz, e, ((1,), (0,)))           # gz e     [dh, S]
         dp = _dot(g, v, ((0,), (0,)))                   # g^T v    [S, S]
-        ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p * scale
+        r = jnp.sum(dp * e, axis=-1, keepdims=True) * inv_z
+        ds = (dp - r) * (e * (inv_z * scale))
         dq_ref[b] = _dot(k, ds, ((1,), (1,)))           # k ds^T   [dh, S]
         dk_ref[b] = _dot(q, ds, ((1,), (0,)))           # q ds     [dh, S]
 

@@ -1,0 +1,255 @@
+"""Fused softmax-cross-entropy kernel for vocab-sized SFG decoder heads.
+
+The SFG decoder (reference ``deepctr/xdeepfm_pro/sfg_decoder.py:95-157,
+240-311``) reconstructs every sparse feature with a vocab-sized softmax head
+and takes per-row cross-entropy against the input ids.  At Criteo bench
+shapes (26 heads x vocab 10k, B=4096, hidden 64) the XLA lowering
+materializes ~4.3 GB of fp32 logits in HBM per step and re-reads them for
+logsumexp, the target gather, the softmax backward, and both weight/input
+gradient matmuls — ~20+ GB of HBM traffic for ~0.4 TFLOP of matmul, i.e. the
+heads are bandwidth-bound, which is why the remat'd variant (recompute
+logits in the backward) measured WORSE: the recomputed logits still round-trip
+HBM, plus an extra matmul pass (BASELINE.md, 2026-08-19).
+
+This kernel never writes logits at all:
+
+* forward: grid (batch tiles, vocab blocks), vocab minor.  Each step computes
+  one [Bt, Vb] logit block on the MXU in VMEM and folds it into a running
+  online-logsumexp (max + sumexp accumulators in VMEM scratch) plus the
+  picked-target logit; only the per-row loss ``logsumexp(z) - z[target]`` and
+  the ``logz`` residual (both [B, 1]) reach HBM.
+* backward: grid (vocab blocks, batch tiles) — vocab MAJOR, so the dW/db
+  column blocks accumulate across the inner batch loop and stream out once,
+  while dh ([B, K], ~1 MB) stays VMEM-resident for the whole kernel.  The
+  logit block is recomputed (flash-style), ``P - onehot`` is formed in
+  registers, and the three gradient contractions (dh, dW, db) run per block.
+
+HBM traffic per head drops from ~800 MB to h + W read twice + gradients
+(~6 MB at bench shapes).  Vocab blocking means there is NO vocab-size limit:
+the same kernel serves the 1M+-row production vocabs for which the remat path
+existed (materialized logits would be >400 GB there).
+
+Dots default to bf16 operands with fp32 accumulation — identical to what the
+XLA path's default-precision fp32 matmuls do on TPU — with a knob to force
+full fp32 emulation (``set_precision('fp32')``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+
+
+def set_interpret(flag: bool):
+    global _INTERPRET
+    _INTERPRET = flag
+
+
+_PRECISION = "bf16"
+
+
+def set_precision(name: str):
+    """'bf16' (default: bf16 dot operands, fp32 accumulation — matches the
+    XLA path's default matmul precision) or 'fp32' (exact, multi-pass)."""
+    global _PRECISION
+    assert name in ("fp32", "bf16")
+    _PRECISION = name
+
+
+_NEG = -1e30  # pad-column bias: exp underflows to 0, never the row max
+
+_BT = 512  # batch-tile rows
+_VB = 512  # vocab-block columns
+
+
+def set_block_sizes(bt: int, vb: int):
+    """Tile knobs (bench sweeps); vb must be a multiple of 128, bt of 8."""
+    global _BT, _VB
+    _BT, _VB = bt, vb
+
+
+def _dot(a, b, dims):
+    if _PRECISION == "bf16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
+                m_ref, s_ref, p_ref, *, Bt, Vb):
+    j = pl.program_id(1)
+    nv = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
+        s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+        p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+
+    S = _dot(h_ref[...], w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
+    mb = jnp.max(S, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_ref[...], mb)
+    alpha = jnp.exp(m_ref[...] - m_new)
+    s_ref[...] = s_ref[...] * alpha + jnp.sum(
+        jnp.exp(S - m_new), axis=1, keepdims=True
+    )
+    m_ref[...] = m_new
+    tloc = t_ref[...] - j * Vb  # [Bt, 1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+    hit = iota == tloc
+    p_ref[...] += jnp.sum(jnp.where(hit, S, 0.0), axis=1, keepdims=True)
+
+    @pl.when(j == nv - 1)
+    def _():
+        logz = m_ref[...] + jnp.log(s_ref[...])
+        logz_ref[...] = logz
+        ll_ref[...] = logz - p_ref[...]
+
+
+def _bwd_kernel(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
+                dh_ref, dw_ref, db_ref, *, Bt, Vb):
+    # grid (vocab blocks MAJOR, batch tiles minor): dW/db column blocks
+    # accumulate over the inner batch loop; dh is resident for the whole run.
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+
+    h = h_ref[...]
+    S = _dot(h, w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
+    P = jnp.exp(S - logz_ref[...])
+    tloc = t_ref[...] - j * Vb
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+    onehot = (iota == tloc).astype(jnp.float32)
+    dS = (P - onehot) * g_ref[...]  # [Bt, Vb]
+    dh_ref[pl.ds(i * Bt, Bt), :] += _dot(dS, w_ref[...], ((1,), (1,)))
+    dw_ref[...] += _dot(h, dS, ((0,), (0,)))  # [K, Vb]
+    db_ref[...] += jnp.sum(dS, axis=0, keepdims=True)
+
+
+def _ceil_to(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ce_core(meta, h, W, b2, t2):
+    ll, _ = _ce_fwd(meta, h, W, b2, t2)
+    return ll
+
+
+def _ce_fwd(meta, h, W, b2, t2):
+    Bt, Vb = meta
+    Bp, K = h.shape
+    Vp = W.shape[1]
+    grid = (Bp // Bt, Vp // Vb)
+    row = lambda i, j: (i, 0)
+    col = lambda i, j: (0, j)
+    ll, logz = pl.pallas_call(
+        functools.partial(_fwd_kernel, Bt=Bt, Vb=Vb),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, K), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Vb), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vb), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bt, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1), row, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, 1), jnp.float32),
+            pltpu.VMEM((Bt, 1), jnp.float32),
+            pltpu.VMEM((Bt, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(h, W, b2, t2)
+    return ll, (h, W, b2, t2, logz)
+
+
+def _ce_bwd(meta, res, g):
+    Bt, Vb = meta
+    h, W, b2, t2, logz = res
+    Bp, K = h.shape
+    Vp = W.shape[1]
+    grid = (Vp // Vb, Bp // Bt)
+    row = lambda j, i: (i, 0)
+    col = lambda j, i: (0, j)
+    full = lambda j, i: (0, 0)
+    dh, dW, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, Bt=Bt, Vb=Vb),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, K), jnp.float32),
+            jax.ShapeDtypeStruct((K, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, K), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Vb), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vb), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bp, K), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Vb), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vb), col, memory_space=pltpu.VMEM),
+        ),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(h, W, b2, t2, logz, g)
+    return dh, dW, db, None
+
+
+_ce_core.defvjp(_ce_fwd, _ce_bwd)
+
+
+def fused_ce_rows(h, W, b, targets):
+    """Per-row softmax cross-entropy ``logsumexp(h@W+b) - (h@W+b)[target]``
+    without materializing the [B, V] logits (semantics of reference
+    ``sfg_decoder.py:240-311``'s per-feature CE, reduction='none').
+
+    h: [B, K] fp32, W: [K, V], b: [V], targets: int32 [B] -> fp32 [B].
+    Differentiable in h, W, b (custom VJP; logit blocks recomputed).
+    """
+    B, K = h.shape
+    V = W.shape[1]
+    Bt = min(_BT, _ceil_to(B, 8))
+    Bp = _ceil_to(B, Bt)
+    Vb = min(_VB, _ceil_to(V, 128))
+    Vp = _ceil_to(V, Vb)
+    hp = jnp.pad(h.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    Wp = jnp.pad(W.astype(jnp.float32), ((0, 0), (0, Vp - V)))
+    bp = jnp.pad(
+        b.astype(jnp.float32), (0, Vp - V), constant_values=_NEG
+    ).reshape(1, Vp)
+    tp = jnp.pad(targets.reshape(-1, 1).astype(jnp.int32), ((0, Bp - B), (0, 0)))
+    ll = _ce_core((Bt, Vb), hp, Wp, bp, tp)
+    return ll[:B, 0]

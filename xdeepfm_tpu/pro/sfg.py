@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.core import torch_bias_init, torch_linear_init
+from ..ops import ce_pallas
 
 
 class LabelAwareAttention(nn.Module):
@@ -158,16 +159,27 @@ class SFGDecoder(nn.Module):
         return sparse_logits, dense_preds
 
     def ce_rows(self, sparse_embeddings, dense_values, sparse_targets,
-                labels=None, training: bool = False):
-        """Fused heads+CE: {name: per-row -log p(target)} and dense_preds,
-        with each head's logits rematerialized in the backward."""
+                labels=None, training: bool = False, impl: str = "remat"):
+        """Fused heads+CE: {name: per-row -log p(target)} and dense_preds.
+
+        impl='remat': each head's [B, vocab] logits rematerialized in the
+        backward (still one HBM round-trip per pass).  impl='pallas': the
+        flash-CE kernel (``ops/ce_pallas.py``) — logit blocks live only in
+        VMEM; online logsumexp forward, blockwise dW/db/dh backward.
+        """
         B = sparse_embeddings.shape[0]
         h = self.hidden(sparse_embeddings, dense_values, labels, training)
         ll_rows = {}
         for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
-            ll_rows[name] = _head_ce_rows_remat(
-                head, h, sparse_targets[name].reshape(-1)
-            )
+            targets = sparse_targets[name].reshape(-1)
+            if impl == "pallas":
+                if self.is_initializing():
+                    _ = head(h[:1])  # create params; pallas path reads them
+                kernel = head.variables["params"]["kernel"]
+                bias = head.variables["params"]["bias"]
+                ll_rows[name] = ce_pallas.fused_ce_rows(h, kernel, bias, targets)
+            else:
+                ll_rows[name] = _head_ce_rows_remat(head, h, targets)
         dense_preds = (
             self.dense_head(h) if self.num_dense > 0 else jnp.zeros((B, 0))
         )

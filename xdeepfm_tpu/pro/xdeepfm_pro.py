@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,12 +54,13 @@ class XDeepFMProModule(nn.Module):
     sfg_dropout: float = 0.1
     sfg_positive_only: bool = True
     sfg_use_label_attention: bool = True
-    # 'auto': fuse each SFG head with its CE under remat when the
-    # materialized per-step logits (B * sum(vocab) fp32) would crowd HBM —
-    # the fused path is ~25% SLOWER at bench shapes (measured 38.2 -> 48.4
-    # ms at 4.3 GB of logits; XLA schedules the materialized heads well) but
-    # is the only path that FITS at production vocab sizes (B=4096 x 26 x
-    # 1M-vocab heads would materialize >400 GB).  True/False force it.
+    # 'auto': the flash-CE Pallas kernel (``ops/ce_pallas.py`` — logit blocks
+    # VMEM-only, online logsumexp, blockwise gradients) on single-chip TPU;
+    # elsewhere, remat-fused heads+CE when the materialized per-step logits
+    # (B * sum(vocab) fp32) would crowd HBM (>8 GB — remat measured ~25%
+    # SLOWER at bench shapes, 38.2 -> 48.4 ms, but is the only XLA path that
+    # FITS at production vocab sizes: B=4096 x 26 x 1M-vocab heads would
+    # materialize >400 GB).  'pallas' / True (remat) / False force a path.
     sfg_fused_ce: object = "auto"
     # AutoDis
     use_autodis: bool = False
@@ -182,16 +184,27 @@ class XDeepFMProModule(nn.Module):
             )
             fused = self.sfg_fused_ce
             if fused == "auto":
-                logits_bytes = (
-                    4
-                    * sparse_stack.shape[0]
-                    * sum(v for _, v in self.sfg_decoder.sparse_vocab_sizes)
-                )
-                fused = logits_bytes > 8 * 1024**3
+                try:
+                    on_tpu_chip = (
+                        jax.default_backend() == "tpu"
+                        and len(jax.devices()) == 1
+                    )
+                except Exception:
+                    on_tpu_chip = False
+                if on_tpu_chip:
+                    fused = "pallas"
+                else:
+                    logits_bytes = (
+                        4
+                        * sparse_stack.shape[0]
+                        * sum(v for _, v in self.sfg_decoder.sparse_vocab_sizes)
+                    )
+                    fused = logits_bytes > 8 * 1024**3
             if fused:
                 ll_rows, dense_preds = self.sfg_decoder.ce_rows(
                     sparse_stack, dv, sparse_targets, labels,
                     training=training,
+                    impl="pallas" if fused == "pallas" else "remat",
                 )
                 loss = sfg_loss_rows(
                     ll_rows,
