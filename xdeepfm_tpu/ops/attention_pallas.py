@@ -97,23 +97,33 @@ def _dot(a, b, dims):
     )
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, Bt):
-    # operands [Bt, dh, S]; scores/probs [S(query i), S(key j)]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, z_ref, *, scale, Bt):
+    # operands [Bt, dh, S]; scores/probs [S(query i), S(key j)].
+    # Per-row softmax stats (max m, inverse normalizer inv_z — [S] each, tiny)
+    # are written out so the backward skips BOTH reduction trees.
     for b in range(Bt):
         q = q_ref[b]  # [dh, S]
         s = _dot(q, k_ref[b], ((0,), (0,)))          # q^T k    [S, S]
-        e, inv_z = _softmax_unnorm(s, scale)
+        m = jnp.max(s, axis=-1, keepdims=True)       # [S, 1]
+        e = jnp.exp((s - m) * scale)
+        inv_z = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         o = _dot(v_ref[b], e, ((1,), (1,)))          # v e^T    [dh, S]
         o_ref[b] = o * inv_z.reshape(1, -1)          # normalize on [dh, S]
+        m_ref[b : b + 1, :] = m.reshape(1, -1)
+        z_ref[b : b + 1, :] = inv_z.reshape(1, -1)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
-                scale, Bt):
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, z_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, Bt):
     for b in range(Bt):
         q, k, v, g = q_ref[b], k_ref[b], v_ref[b], g_ref[b]  # [dh, S]
-        # recompute, VMEM-only; p == e * inv_z (row broadcast), never formed
-        e, inv_z = _softmax_unnorm(_dot(q, k, ((0,), (0,))), scale)
-        gz = g * inv_z.reshape(1, -1)                   # [dh, S] pass
+        z_row = z_ref[b : b + 1, :]                     # [1, S]
+        m_col = m_ref[b : b + 1, :].reshape(-1, 1)      # [S, 1]
+        inv_z = z_row.reshape(-1, 1)                    # [S, 1]
+        # recompute e only (stats saved); p == e * inv_z, never formed
+        s = _dot(q, k, ((0,), (0,)))                    # q^T k    [S, S]
+        e = jnp.exp((s - m_col) * scale)
+        gz = g * z_row                                  # [dh, S] pass
         dv_ref[b] = _dot(gz, e, ((1,), (0,)))           # gz e     [dh, S]
         dp = _dot(g, v, ((0,), (0,)))                   # g^T v    [S, S]
         r = jnp.sum(dp * e, axis=-1, keepdims=True) * inv_z
@@ -145,27 +155,33 @@ def _sa_fwd(q, k, v, scale):
     Bt = _pick_bt(G, S)
     sd = pl.BlockSpec((Bt, dh, S), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((Bt, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, scale=scale, Bt=Bt)
-    out = pl.pallas_call(
+    out, m, z = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
+            jax.ShapeDtypeStruct((G, S), jnp.float32),
+            jax.ShapeDtypeStruct((G, S), jnp.float32),
+        ),
         grid=(G // Bt,),
         in_specs=[sd, sd, sd],
-        out_specs=sd,
+        out_specs=(sd, st, st),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(q, k, v)
-    return out, (q, k, v)
+    return out, (q, k, v, m, z)
 
 
 def _sa_bwd(scale, res, g):
-    q, k, v = res
+    q, k, v, m, z = res
     G, dh, S = q.shape
     Bt = _pick_bt(G, S)
     sd = pl.BlockSpec((Bt, dh, S), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((Bt, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, scale=scale, Bt=Bt)
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -175,13 +191,13 @@ def _sa_bwd(scale, res, g):
             jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
         ),
         grid=(G // Bt,),
-        in_specs=[sd, sd, sd, sd],
+        in_specs=[sd, sd, sd, sd, st, st],
         out_specs=(sd, sd, sd),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(q, k, v, g)
+    )(q, k, v, g, m, z)
     return dq, dk, dv
 
 
