@@ -88,6 +88,33 @@ def test_xdftrain_attn(criteo_file, tmp_path):
     assert log["model_config"]["model_version"] == "v2"
 
 
+def test_xdftrain_v1_threeway_split(criteo_file, tmp_path):
+    """v1 eval does the in-file 3-way split (xdftrain_v1.py:322-330): train
+    fraction (1-test_size)*(1-val_size), metrics from the held-out TEST
+    split, preprocessors fit on train only."""
+    from xdeepfm_tpu.cli.xdftrain_v1 import main
+
+    out = str(tmp_path / "out_v1")
+    log = main(
+        _common_args(criteo_file, out)
+        + ["--test_size", "0.25", "--val_size", "0.25"]
+    )
+    info = log["data_info"]
+    assert info["total_samples"] == 400
+    assert info["test_samples"] == 100          # 400 * 0.25
+    assert info["val_samples"] == 75            # 300 * 0.25
+    assert info["train_samples"] == 225
+    assert "test_auc" in log["results"] and "test_logloss" in log["results"]
+    assert 0.0 <= log["results"]["test_auc"] <= 1.0
+    assert log["training_config"]["test_size"] == 0.25
+    assert log["training_config"]["optimizer"] == "adagrad"  # v1 default
+    for artifact in (
+        "history.json", "preprocess.pkl", "training_log.json",
+        "xdeepfm_v1_weights.bin",
+    ):
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+
+
 def test_xdftrain_pro(criteo_file, tmp_path):
     from xdeepfm_tpu.cli.xdftrain_pro import main
 

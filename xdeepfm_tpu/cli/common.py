@@ -568,6 +568,177 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
     return training_log
 
 
+def run_eval_v1(args, build_model, model_name="xdeepfm_v1", extra_config=None):
+    """v1 eval flow (``xdftrain_v1.py:284-447``): in-file 3-way
+    train/val/test split of ``--data_path`` (``xdftrain_v1.py:322-330``),
+    preprocessors and feature columns fit on the TRAIN split only
+    (``xdftrain_v1.py:333-346``), validation drives checkpointing/early
+    stopping, and the reported metrics come from the held-out TEST split
+    (``xdftrain_v1.py:402-411``)."""
+    import pandas as pd
+
+    setup_jax_cache()
+    set_seed(args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    tb_log_dir = os.path.join(args.out_dir, f"tensorboard_{timestamp}")
+    os.makedirs(tb_log_dir, exist_ok=True)
+    print(f"[INFO] TensorBoard logs: {tb_log_dir}")
+    start_time = time.time()
+
+    sparse_features = list(CRITEO_SPARSE)
+    dense_features = list(CRITEO_DENSE)
+    target = "label"
+
+    df, pos_ratio = _load_labeled(args.data_path, "Full")
+    n_total = len(df)
+    stratify = df[target] if args.stratify else None
+    train_df, test_df = train_test_split(
+        df, test_size=args.test_size, random_state=args.seed,
+        stratify=stratify,
+    )
+    train_df, val_df = train_test_split(
+        train_df, test_size=args.val_size, random_state=args.seed,
+        stratify=train_df[target] if args.stratify else None,
+    )
+    print(
+        f"[DEBUG] 3-way split - Train: {len(train_df)}, Val: {len(val_df)}, "
+        f"Test: {len(test_df)}"
+    )
+
+    # fit on train only (xdftrain_v1.py:333-342) — unseen val/test ids map
+    # to the SafeLabelEncoder's unknown bucket
+    train_dfp, encoders, scaler = prepare_features(
+        train_df, sparse_features, dense_features, fit_df=train_df
+    )
+    val_dfp, _, _ = prepare_features(
+        val_df, sparse_features, dense_features, encoders=encoders,
+        scaler=scaler,
+    )
+    test_dfp, _, _ = prepare_features(
+        test_df, sparse_features, dense_features, encoders=encoders,
+        scaler=scaler,
+    )
+
+    # vocab from train only (xdftrain_v1.py:345-346)
+    linear_cols, dnn_cols, feature_names = build_feature_columns(
+        train_dfp, sparse_features, dense_features,
+        embedding_dim=args.embedding_dim,
+    )
+
+    train_x = build_model_input(train_dfp, feature_names)
+    val_x = build_model_input(val_dfp, feature_names)
+    test_x = build_model_input(test_dfp, feature_names)
+    y_train = train_dfp[[target]].values
+    y_val = val_dfp[[target]].values
+    y_test = test_dfp[[target]].values
+
+    model = build_model(args, linear_cols, dnn_cols)
+
+    ckpt_path = os.path.join(args.out_dir, f"{model_name}_best.weights")
+    # v1 always runs EarlyStopping (xdftrain_v1.py:365-377)
+    callbacks = [
+        LogWriter(log_dir=tb_log_dir),
+        EarlyStopping(
+            monitor="val_auc", patience=args.patience, mode="max", verbose=1
+        ),
+        ModelCheckpoint(
+            filepath=ckpt_path, monitor="val_auc", save_best_only=True,
+            save_weights_only=True, mode="max", verbose=1,
+        ),
+    ]
+
+    print("\n[INFO] Starting training...")
+    history = model.fit(
+        train_x, y_train, batch_size=args.batch_size, epochs=args.epochs,
+        verbose=args.verbose, validation_data=(val_x, y_val), shuffle=True,
+        callbacks=callbacks,
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+    )
+
+    if os.path.exists(ckpt_path):
+        model.load_weights(ckpt_path)
+
+    test_pred = model.predict(test_x, batch_size=args.pred_batch_size)
+    test_logloss = log_loss(y_test, test_pred)
+    test_auc = roc_auc_score(y_test, test_pred)
+    training_time = time.time() - start_time
+    print(f"\n[Eval] test LogLoss = {test_logloss:.6f}")
+    print(f"[Eval] test AUC     = {test_auc:.6f}")
+    print(
+        f"[Eval] Training time: {training_time:.2f} seconds "
+        f"({training_time/60:.2f} minutes)"
+    )
+
+    writer = LogWriter(log_dir=tb_log_dir)
+    writer.scalar("Test/LogLoss", test_logloss, 0)
+    writer.scalar("Test/AUC", test_auc, 0)
+    writer.text("Model/Config", str(vars(args)), 0)
+    writer.close()
+
+    with open(os.path.join(args.out_dir, "preprocess.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "encoders": encoders,
+                "scaler": scaler,
+                "sparse_features": sparse_features,
+                "dense_features": dense_features,
+                "feature_names": feature_names,
+            },
+            f,
+        )
+    model.save_weights(os.path.join(args.out_dir, f"{model_name}_weights.bin"))
+    with open(os.path.join(args.out_dir, "history.json"), "w") as f:
+        json.dump(history.history, f, ensure_ascii=False, indent=2)
+
+    training_log = {
+        "mode": "eval",
+        "timestamp": timestamp,
+        "training_time_seconds": training_time,
+        "data_info": {
+            "data_path": args.data_path,
+            "total_samples": n_total,
+            "train_samples": len(train_dfp),
+            "val_samples": len(val_dfp),
+            "test_samples": len(test_dfp),
+            "positive_ratio": pos_ratio,
+        },
+        "model_config": dict(
+            {
+                "embedding_dim": args.embedding_dim,
+                "l2_reg_embedding": args.l2_reg_embedding,
+                "l2_reg_dnn": args.l2_reg_dnn,
+                "dnn_dropout": args.dnn_dropout,
+                "device": args.device,
+            },
+            **(extra_config or {}),
+        ),
+        "training_config": {
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "test_size": args.test_size,
+            "val_size": args.val_size,
+            "patience": args.patience,
+            "seed": args.seed,
+            "learning_rate": args.learning_rate,
+            "optimizer": args.optimizer,
+        },
+        "results": {
+            "test_logloss": float(test_logloss),
+            "test_auc": float(test_auc),
+            "best_val_auc": float(max(history.history.get("val_auc", [0])))
+            if history.history
+            else None,
+        },
+        "history": history.history,
+        "tensorboard_log_dir": tb_log_dir,
+    }
+    with open(os.path.join(args.out_dir, "training_log.json"), "w") as f:
+        json.dump(training_log, f, ensure_ascii=False, indent=2)
+    print("\n[INFO] training completed! results saved to", args.out_dir)
+    return training_log
+
+
 def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
     """``xdftrain.py:553-704``: fit on 100% of the data, metrics disabled."""
     import pandas as pd

@@ -63,8 +63,8 @@ def read_criteo_like(path: str):
     data_sep = "\t" if "\t" in data_line else ","
     if header_sep != data_sep:
         print(
-            f"[WARN] Header uses '{header_sep!r}' but data uses '{data_sep!r}'. "
-            "Fixing..."
+            f"[WARN] separator mismatch: header delimited by {header_sep!r}, "
+            f"rows by {data_sep!r} — re-reading with the row separator"
         )
         header_cols = header_line.split(header_sep)
         if all(c in header_cols for c in expected):

@@ -52,8 +52,9 @@ class SparseFeat:
             # Parity with the torch reference (inputs.py:31-33): hashing on
             # the fly is not supported; ids must be pre-encoded.
             print(
-                "Notice! Feature Hashing on the fly currently is not "
-                "supported in torch version,you can use tensorflow version!"
+                "[NOTICE] use_hash=True is accepted for API compatibility "
+                "but on-the-fly feature hashing is not implemented; "
+                "pre-encode ids before feeding them in."
             )
 
 

@@ -24,7 +24,7 @@ path's default single-pass-bf16 matmuls.  Design:
   folded-normalizer softmax variant were both NEUTRAL at ±3%; 2026-08-19).
   dh-major measured fwd 10.67 → 5.45 ms, fwd+bwd 22.57 → 14.47 ms on the
   microbench (scripts/bench_attn_kernel.py); on dh-major the MXU-sum softmax
-  REGRESSES (see ``_softmax``),
+  REGRESSES (see ``_softmax_unnorm``),
 * one grid program handles a tile of Bt (batch*head) pairs; per pair the
   score/prob [S, S] lives only in registers/VMEM; every contraction is a
   single MXU dot_general over the leading dh axis,
@@ -52,25 +52,19 @@ def set_interpret(flag: bool):
     _INTERPRET = flag
 
 
-def _softmax(s):
-    # NOTE: moving the row-sum to the MXU (e @ ones) REGRESSED (fwd 5.45 ->
-    # 6.07 ms): a [S,S]@[S,1] dot pads its output to 128 lanes and costs a
-    # full MXU tile pass.  Lane-axis reduction trees stay on the VPU.
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
-
-
 def _softmax_unnorm(s, scale):
-    # Deferred-normalizer softmax: returns (e, inv_z) with
+    # Deferred-normalizer softmax: returns (e, m, inv_z) with
     # softmax(s*scale) == e * inv_z (row broadcast).  The kernel is VPU-pass
     # bound over the [S, S] block, so the scale multiply folds into the
     # subtract+exp pass (max commutes with the positive scale) and the
     # normalizing divide moves to the [dh, S] output / [S, 1] vector —
-    # one fewer full [S, S] pass than `_softmax` per call site.
+    # one fewer full [S, S] pass than a normalized softmax per call site.
+    # NOTE: moving the row-sum to the MXU (e @ ones) REGRESSED (fwd 5.45 ->
+    # 6.07 ms): a [S,S]@[S,1] dot pads its output to 128 lanes and costs a
+    # full MXU tile pass.  Lane-axis reduction trees stay on the VPU.
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp((s - m) * scale)
-    return e, 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    return e, m, 1.0 / jnp.sum(e, axis=-1, keepdims=True)
 
 
 _PRECISION = "fp32"
@@ -104,9 +98,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, z_ref, *, scale, Bt):
     for b in range(Bt):
         q = q_ref[b]  # [dh, S]
         s = _dot(q, k_ref[b], ((0,), (0,)))          # q^T k    [S, S]
-        m = jnp.max(s, axis=-1, keepdims=True)       # [S, 1]
-        e = jnp.exp((s - m) * scale)
-        inv_z = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        e, m, inv_z = _softmax_unnorm(s, scale)
         o = _dot(v_ref[b], e, ((1,), (1,)))          # v e^T    [dh, S]
         o_ref[b] = o * inv_z.reshape(1, -1)          # normalize on [dh, S]
         m_ref[b : b + 1, :] = m.reshape(1, -1)

@@ -27,7 +27,11 @@ This kernel never writes logits at all:
 HBM traffic per head drops from ~800 MB to h + W read twice + gradients
 (~6 MB at bench shapes).  Vocab blocking means there is NO vocab-size limit:
 the same kernel serves the 1M+-row production vocabs for which the remat path
-existed (materialized logits would be >400 GB there).
+existed (materialized logits would be >400 GB there).  The BATCH*HIDDEN
+product is bounded, though: the backward holds the whole fp32 dh [Bp, K]
+accumulator in VMEM (constant-index BlockSpec), so 4*Bp*K must stay well
+under the 100 MB vmem_limit — ``fits_vmem(B, K)`` checks this and callers
+(``pro/sfg.py ce_rows``) fall back to the remat path when it fails.
 
 Dots default to bf16 operands with fp32 accumulation — identical to what the
 XLA path's default-precision fp32 matmuls do on TPU — with a knob to force
@@ -69,9 +73,29 @@ _VB = 512  # vocab-block columns
 
 
 def set_block_sizes(bt: int, vb: int):
-    """Tile knobs (bench sweeps); vb must be a multiple of 128, bt of 8."""
+    """Tile knobs (bench sweeps); vb must be a multiple of 128, bt of 8.
+
+    Read at TRACE time: call before the first jit of the consuming step —
+    values set after a jit cache fill do not retrigger compilation."""
     global _BT, _VB
+    assert bt % 8 == 0 and bt > 0, f"bt must be a positive multiple of 8, got {bt}"
+    assert vb % 128 == 0 and vb > 0, f"vb must be a positive multiple of 128, got {vb}"
     _BT, _VB = bt, vb
+
+
+# the backward keeps the full dh [Bp, K] accumulator VMEM-resident (see
+# module docstring); leave headroom under the 100 MB vmem_limit for the
+# W/dW column blocks and the logit block temporaries.
+_DH_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def fits_vmem(B: int, K: int) -> bool:
+    """True if the backward's VMEM-resident dh accumulator (fp32 [Bp, K])
+    fits the budget.  Callers should fall back to a remat'd XLA path when
+    this is False — at bench shapes (B=4096, K=64) dh is ~1 MB, but very
+    large batch*hidden products would fail Mosaic compilation otherwise."""
+    Bp = _ceil_to(B, min(_BT, _ceil_to(B, 8)))
+    return 4 * Bp * K <= _DH_VMEM_BUDGET
 
 
 def _dot(a, b, dims):

@@ -165,16 +165,26 @@ class SFGDecoder(nn.Module):
         impl='remat': each head's [B, vocab] logits rematerialized in the
         backward (still one HBM round-trip per pass).  impl='pallas': the
         flash-CE kernel (``ops/ce_pallas.py``) — logit blocks live only in
-        VMEM; online logsumexp forward, blockwise dW/db/dh backward.
+        VMEM; online logsumexp forward, blockwise dW/db/dh backward.  The
+        pallas backward holds a fp32 [B, hidden] accumulator in VMEM, so
+        oversized batch*hidden products auto-fall back to remat
+        (``ce_pallas.fits_vmem``).
         """
         B = sparse_embeddings.shape[0]
         h = self.hidden(sparse_embeddings, dense_values, labels, training)
+        if impl == "pallas" and not ce_pallas.fits_vmem(B, h.shape[-1]):
+            impl = "remat"
         ll_rows = {}
         for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
             targets = sparse_targets[name].reshape(-1)
             if impl == "pallas":
                 if self.is_initializing():
-                    _ = head(h[:1])  # create params; pallas path reads them
+                    # create params with a 1-row apply; skip the kernel —
+                    # tracing it at init costs an extra multi-minute TPU
+                    # compile through the device tunnel for a throwaway value
+                    _ = head(h[:1])
+                    ll_rows[name] = jnp.zeros((B,), jnp.float32)
+                    continue
                 kernel = head.variables["params"]["kernel"]
                 bias = head.variables["params"]["bias"]
                 ll_rows[name] = ce_pallas.fused_ce_rows(h, kernel, bias, targets)
