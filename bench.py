@@ -28,6 +28,41 @@ REFERENCE_BASELINE = 279.0
 BATCH = 4096
 N_SPARSE, N_DENSE, VOCAB, EMB = 26, 13, 10000, 10
 
+# v5e TensorCore peak (bf16 matmul); fp32 runs as multi-pass emulation at a
+# fraction of this.  Used only to express the measured model FLOP rate as an
+# MFU percentage (BASELINE.json north star: CIN-layer FLOP utilization).
+PEAK_FLOPS_BF16 = 197e12
+
+
+def model_flops_per_step(batch=BATCH, m=N_SPARSE, d=EMB,
+                         cin=(256, 128), dnn=(256, 256), n_dense=N_DENSE):
+    """Analytic matmul FLOPs for one fwd+bwd canonical-xDeepFM step.
+
+    Counted by hand because the hot CIN contraction runs inside a Pallas
+    kernel, which XLA's cost_analysis() reports as an opaque custom call
+    (0 flops).  Backward = 2x forward for every matmul (dW and dx), so
+    fwd+bwd = 3x forward.  Embedding gathers/scatters and elementwise work
+    are excluded (not FLOPs in the MFU sense).
+    """
+    fwd = 0.0
+    # CIN: layer k contracts [B*D, H_{k-1}*M] @ [H_{k-1}*M, H_k]
+    h_prev = m
+    feat_total = 0
+    for i, h in enumerate(cin):
+        fwd += 2.0 * batch * d * (h_prev * m) * h
+        last = i == len(cin) - 1
+        keep = h if last else h // 2          # split_half
+        feat_total += keep
+        h_prev = h // 2 if not last else h
+    fwd += 2.0 * batch * feat_total           # CIN logit head [feat_total, 1]
+    # DNN tower: [B, M*D + n_dense] -> dnn -> 1
+    width = m * d + n_dense
+    for h in dnn:
+        fwd += 2.0 * batch * width * h
+        width = h
+    fwd += 2.0 * batch * width
+    return 3.0 * fwd
+
 
 def main():
     import os
@@ -92,6 +127,7 @@ def main():
     d2 = run(n2, 2 + n1)
     step_s = (d2 - d1) / (n2 - n1)
     examples_per_s = BATCH / step_s
+    tflops_per_s = model_flops_per_step() / step_s / 1e12
 
     print(
         json.dumps(
@@ -100,6 +136,10 @@ def main():
                 "value": round(examples_per_s, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(examples_per_s / REFERENCE_BASELINE, 3),
+                "model_tflops_per_s": round(tflops_per_s, 2),
+                "mfu_pct_bf16_peak": round(
+                    100.0 * tflops_per_s * 1e12 / PEAK_FLOPS_BF16, 2
+                ),
             }
         )
     )

@@ -253,6 +253,7 @@ class GRU(nn.Module):
 
     def __call__(self, inputs, lengths, h0=None):
         B, T, _ = inputs.shape
+        H = self.hidden_size
         h = (
             jnp.zeros((self.hidden_size, B), dtype=inputs.dtype)
             if h0 is None
@@ -266,6 +267,27 @@ class GRU(nn.Module):
         )
         valid = _valid_t(lengths, T, inputs.dtype)
         w_hh, b_hh = self.weight_hh, self.bias_hh
+
+        from ..ops import gru_pallas
+
+        if gru_pallas.use_pallas() and not self.is_initializing():
+            # whole recurrence in one Pallas program per batch tile (the
+            # lax.scan path is per-step-overhead bound; ops/gru_pallas.py)
+            outs_t = gru_pallas.gru_scan(
+                "gru",
+                gi.reshape(T, 3, H, B),
+                w_hh.reshape(3, H, H),
+                b_hh.reshape(3, H, 1),
+                jnp.zeros((T, 1, B), inputs.dtype),
+                valid,
+                h,
+            )  # [T, H, B], hidden frozen past each row's length
+            idx = jnp.clip(lengths.reshape(-1).astype(jnp.int32) - 1, 0)
+            h_last = jnp.take_along_axis(
+                jnp.transpose(outs_t, (2, 0, 1)), idx[:, None, None], axis=1
+            )[:, 0, :]
+            outputs = jnp.transpose(outs_t * valid, (2, 0, 1))
+            return outputs, h_last
 
         def body(h, xs):
             gi_t, v = xs  # [3H, B], [1, B]
@@ -403,6 +425,26 @@ class DynamicGRU(nn.Module):
         gi = self.rnn.project_t(inputs)  # [T, 3H, B]
         att = jnp.swapaxes(att_scores, 0, 1)[:, None, :]  # [T, 1, B]
         valid = _valid_t(lengths, T, inputs.dtype)
+
+        from ..ops import gru_pallas
+
+        if gru_pallas.use_pallas() and not self.is_initializing():
+            H = self.hidden_size
+            b_hh = (
+                self.rnn.bias_hh.reshape(3, H, 1)
+                if self.use_bias
+                else jnp.zeros((3, H, 1), inputs.dtype)
+            )
+            outs_t = gru_pallas.gru_scan(
+                self.gru_type.lower(),
+                gi.reshape(T, 3, H, B),
+                self.rnn.weight_hh.reshape(3, H, H),
+                b_hh,
+                att,
+                valid,
+                h,
+            )
+            return jnp.transpose(outs_t, (2, 0, 1))  # [B, T, H]
 
         scan_cell = nn.scan(
             _scan_body_t,

@@ -24,7 +24,7 @@ path's default single-pass-bf16 matmuls.  Design:
   folded-normalizer softmax variant were both NEUTRAL at ±3%; 2026-08-19).
   dh-major measured fwd 10.67 → 5.45 ms, fwd+bwd 22.57 → 14.47 ms on the
   microbench (scripts/bench_attn_kernel.py); on dh-major the MXU-sum softmax
-  REGRESSES (see ``_softmax_unnorm``),
+  REGRESSES (see the note in ``_fwd_kernel``),
 * one grid program handles a tile of Bt (batch*head) pairs; per pair the
   score/prob [S, S] lives only in registers/VMEM; every contraction is a
   single MXU dot_general over the leading dh axis,
@@ -52,20 +52,7 @@ def set_interpret(flag: bool):
     _INTERPRET = flag
 
 
-def _softmax_unnorm(s, scale):
-    # Deferred-normalizer softmax: returns (e, m, inv_z) with
-    # softmax(s*scale) == e * inv_z (row broadcast).  The kernel is VPU-pass
-    # bound over the [S, S] block, so the scale multiply folds into the
-    # subtract+exp pass (max commutes with the positive scale) and the
-    # normalizing divide moves to the [dh, S] output / [S, 1] vector —
-    # one fewer full [S, S] pass than a normalized softmax per call site.
-    # NOTE: moving the row-sum to the MXU (e @ ones) REGRESSED (fwd 5.45 ->
-    # 6.07 ms): a [S,S]@[S,1] dot pads its output to 128 lanes and costs a
-    # full MXU tile pass.  Lane-axis reduction trees stay on the VPU.
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp((s - m) * scale)
-    return e, m, 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-
+_LOG2E = 1.4426950408889634
 
 _PRECISION = "fp32"
 
@@ -91,35 +78,45 @@ def _dot(a, b, dims):
     )
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, z_ref, *, scale, Bt):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, b_ref, *, scale, Bt):
     # operands [Bt, dh, S]; scores/probs [S(query i), S(key j)].
-    # Per-row softmax stats (max m, inverse normalizer inv_z — [S] each, tiny)
-    # are written out so the backward skips BOTH reduction trees.
+    # Deferred-normalizer softmax: the scale multiply folds into the exp2
+    # pass and the normalizing divide moves to the [dh, S] output.  A single
+    # combined stat b = m*c + log2(z) per row is written out so the backward
+    # reconstructs NORMALIZED probabilities in one fused exp2 pass (no
+    # max/sum reduction trees, no separate inv_z multiply).
+    # NOTE: moving the row-sum to the MXU (e @ ones) REGRESSED (fwd 5.45 ->
+    # 6.07 ms): a [S,S]@[S,1] dot pads its output to 128 lanes and costs a
+    # full MXU tile pass.  Lane-axis reduction trees stay on the VPU.
+    c = scale * _LOG2E
     for b in range(Bt):
         q = q_ref[b]  # [dh, S]
         s = _dot(q, k_ref[b], ((0,), (0,)))          # q^T k    [S, S]
-        e, m, inv_z = _softmax_unnorm(s, scale)
+        m = jnp.max(s, axis=-1, keepdims=True)       # [S, 1]
+        e = jnp.exp2(s * c - m * c)                  # == exp((s-m)*scale)
+        z = jnp.sum(e, axis=-1, keepdims=True)       # [S, 1]
         o = _dot(v_ref[b], e, ((1,), (1,)))          # v e^T    [dh, S]
-        o_ref[b] = o * inv_z.reshape(1, -1)          # normalize on [dh, S]
-        m_ref[b : b + 1, :] = m.reshape(1, -1)
-        z_ref[b : b + 1, :] = inv_z.reshape(1, -1)
+        o_ref[b] = o * (1.0 / z).reshape(1, -1)      # normalize on [dh, S]
+        b_ref[b : b + 1, :] = (m * c + jnp.log2(z)).reshape(1, -1)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, z_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, b_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, Bt):
+    # Flash-style: p = exp2(s*c - b) is already normalized (b folds max and
+    # normalizer), and the softmax-jacobian row term delta_i = sum_j dp*p is
+    # recovered as sum_d g*o — a [dh, S] sublane reduction instead of a full
+    # [S, S] multiply + lane-reduction pass.
+    c = scale * _LOG2E
     for b in range(Bt):
-        q, k, v, g = q_ref[b], k_ref[b], v_ref[b], g_ref[b]  # [dh, S]
-        z_row = z_ref[b : b + 1, :]                     # [1, S]
-        m_col = m_ref[b : b + 1, :].reshape(-1, 1)      # [S, 1]
-        inv_z = z_row.reshape(-1, 1)                    # [S, 1]
-        # recompute e only (stats saved); p == e * inv_z, never formed
+        q, k, v = q_ref[b], k_ref[b], v_ref[b]          # [dh, S]
+        g, o = g_ref[b], o_ref[b]                       # [dh, S]
+        b_col = b_ref[b : b + 1, :].reshape(-1, 1)      # [S, 1]
         s = _dot(q, k, ((0,), (0,)))                    # q^T k    [S, S]
-        e = jnp.exp((s - m_col) * scale)
-        gz = g * z_row                                  # [dh, S] pass
-        dv_ref[b] = _dot(gz, e, ((1,), (0,)))           # gz e     [dh, S]
+        p = jnp.exp2(s * c - b_col)                     # normalized probs
+        dv_ref[b] = _dot(g, p, ((1,), (0,)))            # g p      [dh, S]
         dp = _dot(g, v, ((0,), (0,)))                   # g^T v    [S, S]
-        r = jnp.sum(dp * e, axis=-1, keepdims=True) * inv_z
-        ds = (dp - r) * (e * (inv_z * scale))
+        delta = jnp.sum(g * o, axis=0, keepdims=True)   # [1, S]
+        ds = (dp - delta.reshape(-1, 1)) * (p * scale)
         dq_ref[b] = _dot(k, ds, ((1,), (1,)))           # k ds^T   [dh, S]
         dk_ref[b] = _dot(q, ds, ((1,), (0,)))           # q ds     [dh, S]
 
@@ -149,26 +146,25 @@ def _sa_fwd(q, k, v, scale):
                       memory_space=pltpu.VMEM)
     st = pl.BlockSpec((Bt, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, scale=scale, Bt=Bt)
-    out, m, z = pl.pallas_call(
+    out, bstat = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
             jax.ShapeDtypeStruct((G, S), jnp.float32),
-            jax.ShapeDtypeStruct((G, S), jnp.float32),
         ),
         grid=(G // Bt,),
         in_specs=[sd, sd, sd],
-        out_specs=(sd, st, st),
+        out_specs=(sd, st),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(q, k, v)
-    return out, (q, k, v, m, z)
+    return out, (q, k, v, out, bstat)
 
 
 def _sa_bwd(scale, res, g):
-    q, k, v, m, z = res
+    q, k, v, out, bstat = res
     G, dh, S = q.shape
     Bt = _pick_bt(G, S)
     sd = pl.BlockSpec((Bt, dh, S), lambda i: (i, 0, 0),
@@ -183,13 +179,13 @@ def _sa_bwd(scale, res, g):
             jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
         ),
         grid=(G // Bt,),
-        in_specs=[sd, sd, sd, sd, st, st],
+        in_specs=[sd, sd, sd, sd, sd, st],
         out_specs=(sd, sd, sd),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(q, k, v, g, m, z)
+    )(q, k, v, g, out, bstat)
     return dq, dk, dv
 
 
