@@ -177,8 +177,13 @@ def main(names=None):
                 model.compile("adam", losses, metrics=[])
                 x, y_np = build_xy(rng, model)
             else:
-                # ONN builds O(F^2) pair tables — keep its vocab small
-                vocab = 1000 if name == "ONN" else VOCAB
+                # ONN builds O(F^2) pair tables (canonical vocab by default;
+                # override with BENCH_ONN_VOCAB for capacity-limited runs)
+                vocab = (
+                    int(os.environ.get("BENCH_ONN_VOCAB", VOCAB))
+                    if name == "ONN"
+                    else VOCAB
+                )
                 cols = [
                     SparseFeat(f"C{i}", vocab, embedding_dim=EMB)
                     for i in range(N_SPARSE)
