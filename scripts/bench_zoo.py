@@ -52,6 +52,8 @@ def builders():
         "MLR": lambda c: M.MLR(c),
         "ONN": lambda c: M.ONN(c, c),
         "xDeepFMPro": lambda c: _pro().xDeepFMPro(c, c),
+        # decoder-off control: (full - nosfg) isolates the SFG decoder+CE cost
+        "xDeepFMPro_nosfg": lambda c: _pro().xDeepFMPro(c, c, use_sfg=False),
         "xDeepFMPro_autodis": lambda c: _pro().xDeepFMPro(
             c, c, use_autodis=True
         ),

@@ -224,3 +224,59 @@ def test_pro_trains_pallas_ce():
         assert np.isfinite(hist.history["loss"][-1])
     finally:
         ce_pallas.set_interpret(False)
+
+
+def test_ce_rows_pallas_mixed_vocab_buckets():
+    """Heads with different 128-padded vocabs split into a stacked-kernel
+    group plus a singleton call; results must match the remat path."""
+    from xdeepfm_tpu.ops import ce_pallas
+    from xdeepfm_tpu.pro.sfg import SFGDecoder, sfg_loss_rows
+
+    ce_pallas.set_interpret(True)
+    old_prec = ce_pallas._PRECISION
+    ce_pallas.set_precision("fp32")
+    try:
+        rng = np.random.default_rng(11)
+        B, F, E, D = 12, 3, 4, 2
+        # 50 and 100 pad to 128 (stacked pair); 300 pads to 384 (singleton)
+        vocabs = (("C0", 50), ("C1", 300), ("C2", 100))
+        emb = jnp.asarray(rng.normal(size=(B, F, E)).astype(np.float32))
+        dense = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32))
+        targets = {
+            name: jnp.asarray(rng.integers(0, v, B)) for name, v in vocabs
+        }
+        dec = SFGDecoder(
+            embedding_dim=E, sparse_vocab_sizes=vocabs, num_dense=D,
+            hidden_units=(8, 6), dropout_rate=0.0,
+        )
+        variables = dec.init(jax.random.PRNGKey(3), emb, dense, labels)
+
+        def loss_with(impl):
+            def f(variables, emb):
+                ll, dp = dec.apply(
+                    variables, emb, dense, targets, labels,
+                    method=SFGDecoder.ce_rows, impl=impl,
+                )
+                return sfg_loss_rows(ll, dp, dense, labels, positive_only=True)
+            return f
+
+        want = loss_with("remat")(variables, emb)
+        got = loss_with("pallas")(variables, emb)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
+        gv_p, ge_p = jax.grad(loss_with("pallas"), argnums=(0, 1))(variables, emb)
+        gv_r, ge_r = jax.grad(loss_with("remat"), argnums=(0, 1))(variables, emb)
+        np.testing.assert_allclose(
+            np.asarray(ge_p), np.asarray(ge_r), rtol=1e-4, atol=1e-6
+        )
+        for (k, v), (_, vr) in zip(
+            jax.tree_util.tree_leaves_with_path(gv_p),
+            jax.tree_util.tree_leaves_with_path(gv_r),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(vr), rtol=1e-4, atol=1e-6,
+                err_msg=jax.tree_util.keystr(k),
+            )
+    finally:
+        ce_pallas.set_interpret(False)
+        ce_pallas.set_precision(old_prec)

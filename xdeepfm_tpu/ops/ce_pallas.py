@@ -298,6 +298,224 @@ def _ce_bwd(meta, res, g):
 _ce_core.defvjp(_ce_fwd, _ce_bwd)
 
 
+def _fwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
+                        m_ref, s_ref, p_ref, sS_ref, *, Bt, Vb):
+    # grid (head f, batch tile i, vocab block j) — same software pipeline as
+    # _fwd_kernel, but all heads share ONE kernel launch so the pipeline
+    # never drains between heads and per-call dispatch overhead is paid once.
+    j = pl.program_id(2)
+    nv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
+        s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+        p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+
+    S = _dot(h_ref[...], w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
+
+    def process(blk, jj):
+        mb = jnp.max(blk, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_ref[...], mb)
+        alpha = jnp.exp(m_ref[...] - m_new)
+        s_ref[...] = s_ref[...] * alpha + jnp.sum(
+            jnp.exp(blk - m_new), axis=1, keepdims=True
+        )
+        m_ref[...] = m_new
+        tloc = t_ref[0] - jj * Vb  # [Bt, 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+        hit = iota == tloc
+        p_ref[...] += jnp.sum(jnp.where(hit, blk, 0.0), axis=1, keepdims=True)
+
+    @pl.when(j > 0)
+    def _():
+        process(sS_ref[...], j - 1)
+
+    sS_ref[...] = S
+
+    @pl.when(j == nv - 1)
+    def _():
+        process(S, j)
+        logz = m_ref[...] + jnp.log(s_ref[...])
+        logz_ref[0] = logz
+        ll_ref[0] = logz - p_ref[...]
+
+
+def _bwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
+                        dh_ref, dw_ref, db_ref, dS_s, h_s, *, Bt, Vb):
+    # grid (head f, vocab block j MAJOR, batch tile i minor); dh accumulates
+    # across heads AND vocab blocks (the trunk hidden state feeds every
+    # head), dW/db per (f, j) column block.  Pipelined like _bwd_kernel.
+    f = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    nb = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    @pl.when((f == 0) & (j == 0) & (i == 0))
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+
+    h = h_ref[...]
+    S = _dot(h, w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
+
+    @pl.when(i > 0)
+    def _():
+        dS_p = dS_s[...]
+        h_p = h_s[...]
+        dh_ref[pl.ds((i - 1) * Bt, Bt), :] += _dot(
+            dS_p, w_ref[0], ((1,), (1,))
+        )
+        dw_ref[0] += _dot(h_p, dS_p, ((0,), (0,)))
+        db_ref[0] += jnp.sum(dS_p, axis=0, keepdims=True)
+
+    P = jnp.exp(S - logz_ref[0])
+    tloc = t_ref[0] - j * Vb
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+    onehot = (iota == tloc).astype(jnp.float32)
+    dS = (P - onehot) * g_ref[0]  # [Bt, Vb]
+    dS_s[...] = dS
+    h_s[...] = h
+
+    @pl.when(i == nb - 1)
+    def _():
+        dh_ref[pl.ds(i * Bt, Bt), :] += _dot(dS, w_ref[0], ((1,), (1,)))
+        dw_ref[0] += _dot(h, dS, ((0,), (0,)))
+        db_ref[0] += jnp.sum(dS, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ce_core_stacked(meta, h, Ws, bs, ts):
+    ll, _ = _ces_fwd(meta, h, Ws, bs, ts)
+    return ll
+
+
+def _ces_fwd(meta, h, Ws, bs, ts):
+    Bt, Vb = meta
+    Bp, K = h.shape
+    F, _, Vp = Ws.shape
+    grid = (F, Bp // Bt, Vp // Vb)
+    ll, logz = pl.pallas_call(
+        functools.partial(_fwd_kernel_stacked, Bt=Bt, Vb=Vb),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((F, Bp, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, K), lambda f, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, Vb), lambda f, i, j: (f, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Vb), lambda f, i, j: (f, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, 1), lambda f, i, j: (f, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Bt, 1), lambda f, i, j: (f, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, 1), lambda f, i, j: (f, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, 1), jnp.float32),
+            pltpu.VMEM((Bt, 1), jnp.float32),
+            pltpu.VMEM((Bt, 1), jnp.float32),
+            pltpu.VMEM((Bt, Vb), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(h, Ws, bs, ts)
+    return ll, (h, Ws, bs, ts, logz)
+
+
+def _ces_bwd(meta, res, g):
+    Bt, Vb = meta
+    h, Ws, bs, ts, logz = res
+    Bp, K = h.shape
+    F, _, Vp = Ws.shape
+    grid = (F, Vp // Vb, Bp // Bt)
+    dh, dW, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_stacked, Bt=Bt, Vb=Vb),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, K), jnp.float32),
+            jax.ShapeDtypeStruct((F, K, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((F, 1, Vp), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, K), lambda f, j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, Vb), lambda f, j, i: (f, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Vb), lambda f, j, i: (f, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, 1), lambda f, j, i: (f, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, 1), lambda f, j, i: (f, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, 1), lambda f, j, i: (f, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bp, K), lambda f, j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, Vb), lambda f, j, i: (f, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Vb), lambda f, j, i: (f, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, Vb), jnp.float32),
+            pltpu.VMEM((Bt, K), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(h, Ws, bs, ts, logz, g)
+    return dh, dW, db, None
+
+
+_ce_core_stacked.defvjp(_ces_fwd, _ces_bwd)
+
+
+def fused_ce_rows_stacked(h, Ws, bs, targets):
+    """Per-row CE for F same-shape heads in ONE kernel launch.
+
+    h: [B, K] shared hidden; Ws: list/stack of F [K, V] kernels; bs: F [V]
+    biases; targets: [F, B] int32.  Returns [F, B] fp32.  Heads must share
+    K and V (callers bucket heads by padded vocab and pad W/b columns —
+    bias pad of _NEG keeps padded columns out of the logsumexp).
+    """
+    if not isinstance(Ws, jnp.ndarray):
+        Ws = jnp.stack([w.astype(jnp.float32) for w in Ws])
+        bs = jnp.stack([b.astype(jnp.float32) for b in bs])
+    F, K, V = Ws.shape
+    B = h.shape[0]
+    Bt = min(_BT, _ceil_to(B, 8))
+    Bp = _ceil_to(B, Bt)
+    Vb = min(_VB, _ceil_to(V, 128))
+    Vp = _ceil_to(V, Vb)
+    hp = jnp.pad(h.astype(jnp.float32), ((0, Bp - B), (0, 0)))
+    Wp = jnp.pad(Ws, ((0, 0), (0, 0), (0, Vp - V)))
+    bp = jnp.pad(
+        bs, ((0, 0), (0, Vp - V)), constant_values=_NEG
+    ).reshape(F, 1, Vp)
+    tp = jnp.pad(
+        targets.astype(jnp.int32), ((0, 0), (0, Bp - B))
+    ).reshape(F, Bp, 1)
+    ll = _ce_core_stacked((Bt, Vb), hp, Wp, bp, tp)
+    return ll[:, :B, 0]
+
+
 def fused_ce_rows(h, W, b, targets):
     """Per-row softmax cross-entropy ``logsumexp(h@W+b) - (h@W+b)[target]``
     without materializing the [B, V] logits (semantics of reference

@@ -175,21 +175,51 @@ class SFGDecoder(nn.Module):
         if impl == "pallas" and not ce_pallas.fits_vmem(B, h.shape[-1]):
             impl = "remat"
         ll_rows = {}
-        for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
-            targets = sparse_targets[name].reshape(-1)
-            if impl == "pallas":
-                if self.is_initializing():
+        if impl == "pallas" and not self.is_initializing():
+            # bucket heads by 128-padded vocab: same-shape heads run in ONE
+            # stacked kernel launch (no per-head dispatch, no pipeline drain
+            # between heads); odd-sized heads fall back to per-head calls
+            buckets = {}
+            for (name, vocab), head in zip(self.sparse_vocab_sizes, self.heads):
+                vp = -(-vocab // 128) * 128
+                buckets.setdefault(vp, []).append((name, vocab, head))
+            for vp, items in buckets.items():
+                if len(items) == 1:
+                    name, _, head = items[0]
+                    kernel = head.variables["params"]["kernel"]
+                    bias = head.variables["params"]["bias"]
+                    ll_rows[name] = ce_pallas.fused_ce_rows(
+                        h, kernel, bias, sparse_targets[name].reshape(-1)
+                    )
+                    continue
+                Ws, bs, ts = [], [], []
+                for name, vocab, head in items:
+                    kernel = head.variables["params"]["kernel"]
+                    bias = head.variables["params"]["bias"]
+                    Ws.append(jnp.pad(
+                        kernel.astype(jnp.float32), ((0, 0), (0, vp - vocab))
+                    ))
+                    bs.append(jnp.pad(
+                        bias.astype(jnp.float32), (0, vp - vocab),
+                        constant_values=ce_pallas._NEG,
+                    ))
+                    ts.append(sparse_targets[name].reshape(-1))
+                ll = ce_pallas.fused_ce_rows_stacked(
+                    h, jnp.stack(Ws), jnp.stack(bs), jnp.stack(ts)
+                )
+                for r, (name, _, _) in enumerate(items):
+                    ll_rows[name] = ll[r]
+        else:
+            for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
+                targets = sparse_targets[name].reshape(-1)
+                if impl == "pallas":
                     # create params with a 1-row apply; skip the kernel —
                     # tracing it at init costs an extra multi-minute TPU
                     # compile through the device tunnel for a throwaway value
                     _ = head(h[:1])
                     ll_rows[name] = jnp.zeros((B,), jnp.float32)
-                    continue
-                kernel = head.variables["params"]["kernel"]
-                bias = head.variables["params"]["bias"]
-                ll_rows[name] = ce_pallas.fused_ce_rows(h, kernel, bias, targets)
-            else:
-                ll_rows[name] = _head_ce_rows_remat(head, h, targets)
+                else:
+                    ll_rows[name] = _head_ce_rows_remat(head, h, targets)
         dense_preds = (
             self.dense_head(h) if self.num_dense > 0 else jnp.zeros((B, 0))
         )
