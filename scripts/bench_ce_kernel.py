@@ -59,6 +59,15 @@ def main():
             tot = tot + ce_pallas.fused_ce_rows(h, W, b, t)
         return tot
 
+    Wstk = jnp.stack(Ws)
+    bstk = jnp.stack(bs)
+    tstk = jnp.stack(ts)
+
+    def heads_stacked(h):
+        return jnp.sum(
+            ce_pallas.fused_ce_rows_stacked(h, Wstk, bstk, tstk), axis=0
+        )
+
     def heads_xla(h):
         tot = jnp.zeros((B,))
         for W, b, t in zip(Ws, bs, ts):
@@ -103,6 +112,8 @@ def main():
         }), flush=True)
 
     which = os.environ.get("BENCH_CE_PATH", "both")
+    if which in ("both", "pallas", "stacked"):
+        bench("pallas_stacked", heads_stacked)
     if which in ("both", "pallas"):
         bench("pallas", heads_pallas)
     if which in ("both", "xla"):

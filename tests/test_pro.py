@@ -233,6 +233,7 @@ def test_ce_rows_pallas_mixed_vocab_buckets():
     from xdeepfm_tpu.pro.sfg import SFGDecoder, sfg_loss_rows
 
     ce_pallas.set_interpret(True)
+    ce_pallas.set_stack_heads(True)  # cover the opt-in stacked path
     old_prec = ce_pallas._PRECISION
     ce_pallas.set_precision("fp32")
     try:
@@ -279,4 +280,5 @@ def test_ce_rows_pallas_mixed_vocab_buckets():
             )
     finally:
         ce_pallas.set_interpret(False)
+        ce_pallas.set_stack_heads(False)
         ce_pallas.set_precision(old_prec)

@@ -52,8 +52,6 @@ def set_interpret(flag: bool):
     _INTERPRET = flag
 
 
-_LOG2E = 1.4426950408889634
-
 _PRECISION = "fp32"
 
 
@@ -78,47 +76,72 @@ def _dot(a, b, dims):
     )
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, b_ref, *, scale, Bt):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, z_ref, *, scale, Bt):
     # operands [Bt, dh, S]; scores/probs [S(query i), S(key j)].
-    # Deferred-normalizer softmax: the scale multiply folds into the exp2
-    # pass and the normalizing divide moves to the [dh, S] output.  A single
-    # combined stat b = m*c + log2(z) per row is written out so the backward
-    # reconstructs NORMALIZED probabilities in one fused exp2 pass (no
-    # max/sum reduction trees, no separate inv_z multiply).
+    # Deferred-normalizer softmax: the scale folds into the exp pass and the
+    # normalizing divide moves to the [dh, S] output; per-row stats (max m,
+    # inverse normalizer inv_z) are written out for the backward.
     # NOTE: moving the row-sum to the MXU (e @ ones) REGRESSED (fwd 5.45 ->
     # 6.07 ms): a [S,S]@[S,1] dot pads its output to 128 lanes and costs a
     # full MXU tile pass.  Lane-axis reduction trees stay on the VPU.
-    c = scale * _LOG2E
-    for b in range(Bt):
-        q = q_ref[b]  # [dh, S]
-        s = _dot(q, k_ref[b], ((0,), (0,)))          # q^T k    [S, S]
+    # NOTE: two single-stat variants (b = m*c + log2 z with exp2, then with
+    # natural exp/log) REGRESSED the fwd to 7.4 / 8.5 ms (2026-08-20) — the
+    # log runs on a lane-starved [S, 1] column and Mosaic's exp beats exp2;
+    # saving m and inv_z separately keeps the fwd at its measured floor
+    # (ablation: MXU dots alone 3.9 ms of the 5.45).
+    # SOFTWARE-PIPELINED across pairs: Mosaic issues in program order, so
+    # interleaving pair b's score dot (MXU) before pair b-1's softmax (VPU)
+    # lets the units overlap — the unrolled loop alone does NOT reorder
+    # (dots-only 3.9 ms + softmax measured ADDITIVE, 2026-08-20 ablation).
+    def finish(b, s):
         m = jnp.max(s, axis=-1, keepdims=True)       # [S, 1]
-        e = jnp.exp2(s * c - m * c)                  # == exp((s-m)*scale)
-        z = jnp.sum(e, axis=-1, keepdims=True)       # [S, 1]
+        e = jnp.exp((s - m) * scale)
+        inv_z = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         o = _dot(v_ref[b], e, ((1,), (1,)))          # v e^T    [dh, S]
-        o_ref[b] = o * (1.0 / z).reshape(1, -1)      # normalize on [dh, S]
-        b_ref[b : b + 1, :] = (m * c + jnp.log2(z)).reshape(1, -1)
+        o_ref[b] = o * inv_z.reshape(1, -1)          # normalize on [dh, S]
+        m_ref[b : b + 1, :] = m.reshape(1, -1)
+        z_ref[b : b + 1, :] = inv_z.reshape(1, -1)
 
-
-def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, b_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, Bt):
-    # Flash-style: p = exp2(s*c - b) is already normalized (b folds max and
-    # normalizer), and the softmax-jacobian row term delta_i = sum_j dp*p is
-    # recovered as sum_d g*o — a [dh, S] sublane reduction instead of a full
-    # [S, S] multiply + lane-reduction pass.
-    c = scale * _LOG2E
+    s_prev = None
     for b in range(Bt):
-        q, k, v = q_ref[b], k_ref[b], v_ref[b]          # [dh, S]
+        s = _dot(q_ref[b], k_ref[b], ((0,), (0,)))   # q^T k    [S, S]
+        if b > 0:
+            finish(b - 1, s_prev)
+        s_prev = s
+    finish(Bt - 1, s_prev)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, m_ref, z_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, Bt):
+    # Flash-style: e recomputed from the saved stats (no reduction trees),
+    # and the softmax-jacobian row term delta_i = sum_j dp*p is recovered as
+    # sum_d g*o — a [dh, S] sublane reduction instead of the full [S, S]
+    # dp*e multiply + lane reduction.  p = e*inv_z is never materialized:
+    # inv_z folds into the cheap [dh, S] g-scaling (dv) and the [S, 1]
+    # column scale of ds.
+    # Software-pipelined like the forward: pair b's two independent [S, S]
+    # dots (s and dp) issue before pair b-1's VPU work + dependent dots.
+    def finish(b, s, dp):
         g, o = g_ref[b], o_ref[b]                       # [dh, S]
-        b_col = b_ref[b : b + 1, :].reshape(-1, 1)      # [S, 1]
-        s = _dot(q, k, ((0,), (0,)))                    # q^T k    [S, S]
-        p = jnp.exp2(s * c - b_col)                     # normalized probs
-        dv_ref[b] = _dot(g, p, ((1,), (0,)))            # g p      [dh, S]
-        dp = _dot(g, v, ((0,), (0,)))                   # g^T v    [S, S]
+        z_row = z_ref[b : b + 1, :]                     # [1, S] (inv_z)
+        m_col = m_ref[b : b + 1, :].reshape(-1, 1)      # [S, 1]
+        e = jnp.exp((s - m_col) * scale)
+        gz = g * z_row                                  # [dh, S] pass
+        dv_ref[b] = _dot(gz, e, ((1,), (0,)))           # gz e     [dh, S]
         delta = jnp.sum(g * o, axis=0, keepdims=True)   # [1, S]
-        ds = (dp - delta.reshape(-1, 1)) * (p * scale)
-        dq_ref[b] = _dot(k, ds, ((1,), (1,)))           # k ds^T   [dh, S]
-        dk_ref[b] = _dot(q, ds, ((1,), (0,)))           # q ds     [dh, S]
+        inv_z = z_row.reshape(-1, 1)                    # [S, 1]
+        ds = ((dp - delta.reshape(-1, 1)) * (inv_z * scale)) * e
+        dq_ref[b] = _dot(k_ref[b], ds, ((1,), (1,)))    # k ds^T   [dh, S]
+        dk_ref[b] = _dot(q_ref[b], ds, ((1,), (0,)))    # q ds     [dh, S]
+
+    prev = None
+    for b in range(Bt):
+        s = _dot(q_ref[b], k_ref[b], ((0,), (0,)))      # q^T k    [S, S]
+        dp = _dot(g_ref[b], v_ref[b], ((0,), (0,)))     # g^T v    [S, S]
+        if b > 0:
+            finish(b - 1, *prev)
+        prev = (s, dp)
+    finish(Bt - 1, *prev)
 
 
 def _pick_bt(G, S):
@@ -146,25 +169,26 @@ def _sa_fwd(q, k, v, scale):
                       memory_space=pltpu.VMEM)
     st = pl.BlockSpec((Bt, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, scale=scale, Bt=Bt)
-    out, bstat = pl.pallas_call(
+    out, m, z = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
             jax.ShapeDtypeStruct((G, S), jnp.float32),
+            jax.ShapeDtypeStruct((G, S), jnp.float32),
         ),
         grid=(G // Bt,),
         in_specs=[sd, sd, sd],
-        out_specs=(sd, st),
+        out_specs=(sd, st, st),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(q, k, v)
-    return out, (q, k, v, out, bstat)
+    return out, (q, k, v, out, m, z)
 
 
 def _sa_bwd(scale, res, g):
-    q, k, v, out, bstat = res
+    q, k, v, out, m, z = res
     G, dh, S = q.shape
     Bt = _pick_bt(G, S)
     sd = pl.BlockSpec((Bt, dh, S), lambda i: (i, 0, 0),
@@ -179,13 +203,13 @@ def _sa_bwd(scale, res, g):
             jax.ShapeDtypeStruct((G, dh, S), jnp.float32),
         ),
         grid=(G // Bt,),
-        in_specs=[sd, sd, sd, sd, sd, st],
+        in_specs=[sd, sd, sd, sd, sd, st, st],
         out_specs=(sd, sd, sd),
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(q, k, v, g, out, bstat)
+    )(q, k, v, g, out, m, z)
     return dq, dk, dv
 
 

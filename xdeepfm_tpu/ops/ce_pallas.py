@@ -67,9 +67,29 @@ def set_precision(name: str):
 
 
 _NEG = -1e30  # pad-column bias: exp underflows to 0, never the row max
+# pipeline-priming sentinel: processing a block of _DUMMY against running
+# stats initialized to _NEG is an exact no-op (max(_NEG, _DUMMY) == _NEG,
+# exp(_DUMMY - _NEG) == exp(-3e38) == 0), so the software pipeline's first
+# step can process the scratch UNCONDITIONALLY — pl.when-predicated bodies
+# were measured to defeat MXU/VPU overlap (2026-08-20)
+_DUMMY = -3.0e38
 
 _BT = 512  # batch-tile rows
 _VB = 512  # vocab-block columns
+
+_STACK_HEADS = False
+
+
+def set_stack_heads(flag: bool):
+    """Opt into the stacked-heads decoder path (one kernel launch for all
+    same-shape heads).  Kernel-neutral at bench shapes but the per-step
+    stack/pad copies cost ~1 ms in the full train step — see pro/sfg.py."""
+    global _STACK_HEADS
+    _STACK_HEADS = bool(flag)
+
+
+def stack_heads_enabled() -> bool:
+    return _STACK_HEADS
 
 
 def set_block_sizes(bt: int, vb: int):
@@ -124,10 +144,13 @@ def _fwd_kernel(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
         m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
         s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
         p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+        sS_ref[...] = jnp.full((Bt, Vb), _DUMMY, jnp.float32)
 
     S = _dot(h_ref[...], w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
 
     def process(blk, jj):
+        # jj = -1 processes the _DUMMY priming block: exact no-op (see
+        # _DUMMY note; tloc >= Vb so the target pick misses every column)
         mb = jnp.max(blk, axis=1, keepdims=True)
         m_new = jnp.maximum(m_ref[...], mb)
         alpha = jnp.exp(m_ref[...] - m_new)
@@ -140,10 +163,7 @@ def _fwd_kernel(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
         hit = iota == tloc
         p_ref[...] += jnp.sum(jnp.where(hit, blk, 0.0), axis=1, keepdims=True)
 
-    @pl.when(j > 0)
-    def _():
-        process(sS_ref[...], j - 1)
-
+    process(sS_ref[...], j - 1)
     sS_ref[...] = S
 
     @pl.when(j == nv - 1)
@@ -172,6 +192,11 @@ def _bwd_kernel(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
+        # zero the pipeline scratches so the unconditional pending-gradient
+        # contractions below are exact no-ops at i == 0 (0 * anything == 0;
+        # h_s must be zeroed too lest uninitialized NaNs poison 0*NaN)
+        dS_s[...] = jnp.zeros((Bt, Vb), jnp.float32)
+        h_s[...] = jnp.zeros_like(h_s)
 
     @pl.when((j == 0) & (i == 0))
     def _():
@@ -180,15 +205,14 @@ def _bwd_kernel(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
     h = h_ref[...]
     S = _dot(h, w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
 
-    @pl.when(i > 0)
-    def _():
-        dS_p = dS_s[...]
-        h_p = h_s[...]
-        dh_ref[pl.ds((i - 1) * Bt, Bt), :] += _dot(
-            dS_p, w_ref[...], ((1,), (1,))
-        )
-        dw_ref[...] += _dot(h_p, dS_p, ((0,), (0,)))  # [K, Vb]
-        db_ref[...] += jnp.sum(dS_p, axis=0, keepdims=True)
+    # pending gradient dots for tile i-1 — UNCONDITIONAL (predicated bodies
+    # defeat MXU/VPU overlap); at i == 0 the zeroed scratches make this +0
+    ip = jnp.maximum(i - 1, 0)
+    dS_p = dS_s[...]
+    h_p = h_s[...]
+    dh_ref[pl.ds(ip * Bt, Bt), :] += _dot(dS_p, w_ref[...], ((1,), (1,)))
+    dw_ref[...] += _dot(h_p, dS_p, ((0,), (0,)))  # [K, Vb]
+    db_ref[...] += jnp.sum(dS_p, axis=0, keepdims=True)
 
     P = jnp.exp(S - logz_ref[...])
     tloc = t_ref[...] - j * Vb
@@ -311,10 +335,12 @@ def _fwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
         m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
         s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
         p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+        sS_ref[...] = jnp.full((Bt, Vb), _DUMMY, jnp.float32)
 
     S = _dot(h_ref[...], w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
 
     def process(blk, jj):
+        # jj = -1 processes the _DUMMY priming block: exact no-op
         mb = jnp.max(blk, axis=1, keepdims=True)
         m_new = jnp.maximum(m_ref[...], mb)
         alpha = jnp.exp(m_ref[...] - m_new)
@@ -327,10 +353,7 @@ def _fwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
         hit = iota == tloc
         p_ref[...] += jnp.sum(jnp.where(hit, blk, 0.0), axis=1, keepdims=True)
 
-    @pl.when(j > 0)
-    def _():
-        process(sS_ref[...], j - 1)
-
+    process(sS_ref[...], j - 1)
     sS_ref[...] = S
 
     @pl.when(j == nv - 1)
@@ -355,6 +378,8 @@ def _bwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
+        dS_s[...] = jnp.zeros((Bt, Vb), jnp.float32)
+        h_s[...] = jnp.zeros_like(h_s)
 
     @pl.when((f == 0) & (j == 0) & (i == 0))
     def _():
@@ -363,15 +388,13 @@ def _bwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
     h = h_ref[...]
     S = _dot(h, w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
 
-    @pl.when(i > 0)
-    def _():
-        dS_p = dS_s[...]
-        h_p = h_s[...]
-        dh_ref[pl.ds((i - 1) * Bt, Bt), :] += _dot(
-            dS_p, w_ref[0], ((1,), (1,))
-        )
-        dw_ref[0] += _dot(h_p, dS_p, ((0,), (0,)))
-        db_ref[0] += jnp.sum(dS_p, axis=0, keepdims=True)
+    # unconditional pending-gradient dots (see _bwd_kernel)
+    ip = jnp.maximum(i - 1, 0)
+    dS_p = dS_s[...]
+    h_p = h_s[...]
+    dh_ref[pl.ds(ip * Bt, Bt), :] += _dot(dS_p, w_ref[0], ((1,), (1,)))
+    dw_ref[0] += _dot(h_p, dS_p, ((0,), (0,)))
+    db_ref[0] += jnp.sum(dS_p, axis=0, keepdims=True)
 
     P = jnp.exp(S - logz_ref[0])
     tloc = t_ref[0] - j * Vb

@@ -175,10 +175,18 @@ class SFGDecoder(nn.Module):
         if impl == "pallas" and not ce_pallas.fits_vmem(B, h.shape[-1]):
             impl = "remat"
         ll_rows = {}
-        if impl == "pallas" and not self.is_initializing():
+        if (
+            impl == "pallas"
+            and not self.is_initializing()
+            and ce_pallas.stack_heads_enabled()
+        ):
             # bucket heads by 128-padded vocab: same-shape heads run in ONE
             # stacked kernel launch (no per-head dispatch, no pipeline drain
-            # between heads); odd-sized heads fall back to per-head calls
+            # between heads); odd-sized heads fall back to per-head calls.
+            # OPT-IN (ce_pallas.set_stack_heads): at bench shapes the stacked
+            # kernel measured NEUTRAL vs per-head (15.19 vs 15.19 ms fwd+bwd)
+            # while the per-step W/b stack+pad copies and the gradient
+            # unstack made the full train step ~1 ms WORSE (2026-08-20).
             buckets = {}
             for (name, vocab), head in zip(self.sparse_vocab_sizes, self.heads):
                 vp = -(-vocab // 128) * 128
@@ -209,6 +217,13 @@ class SFGDecoder(nn.Module):
                 )
                 for r, (name, _, _) in enumerate(items):
                     ll_rows[name] = ll[r]
+        elif impl == "pallas" and not self.is_initializing():
+            for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
+                kernel = head.variables["params"]["kernel"]
+                bias = head.variables["params"]["bias"]
+                ll_rows[name] = ce_pallas.fused_ce_rows(
+                    h, kernel, bias, sparse_targets[name].reshape(-1)
+                )
         else:
             for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
                 targets = sparse_targets[name].reshape(-1)
