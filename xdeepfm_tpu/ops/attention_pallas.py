@@ -24,7 +24,8 @@ path's default single-pass-bf16 matmuls.  Design:
   folded-normalizer softmax variant were both NEUTRAL at ±3%; 2026-08-19).
   dh-major measured fwd 10.67 → 5.45 ms, fwd+bwd 22.57 → 14.47 ms on the
   microbench (scripts/bench_attn_kernel.py); on dh-major the MXU-sum softmax
-  REGRESSES (see the note in ``_fwd_kernel``),
+  REGRESSES (see the note in ``_fwd_kernel``).  The flash-delta backward +
+  program-order software pipelining took fwd+bwd to 12.47 ms (2026-08-21),
 * one grid program handles a tile of Bt (batch*head) pairs; per pair the
   score/prob [S, S] lives only in registers/VMEM; every contraction is a
   single MXU dot_general over the leading dh axis,
