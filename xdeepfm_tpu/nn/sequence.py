@@ -270,7 +270,11 @@ class GRU(nn.Module):
 
         from ..ops import gru_pallas
 
-        if gru_pallas.use_pallas() and not self.is_initializing():
+        if (
+            gru_pallas.use_pallas()
+            and gru_pallas.fits_vmem(T, H, B)
+            and not self.is_initializing()
+        ):
             # whole recurrence in one Pallas program per batch tile (the
             # lax.scan path is per-step-overhead bound; ops/gru_pallas.py)
             outs_t = gru_pallas.gru_scan(
@@ -428,7 +432,11 @@ class DynamicGRU(nn.Module):
 
         from ..ops import gru_pallas
 
-        if gru_pallas.use_pallas() and not self.is_initializing():
+        if (
+            gru_pallas.use_pallas()
+            and gru_pallas.fits_vmem(T, self.hidden_size, B)
+            and not self.is_initializing()
+        ):
             H = self.hidden_size
             b_hh = (
                 self.rnn.bias_hh.reshape(3, H, 1)

@@ -195,6 +195,19 @@ def _pick_bt(B):
     return B
 
 
+def fits_vmem(T: int, H: int, B: int) -> bool:
+    """True if the backward's VMEM working set fits comfortably: the gi /
+    dgi blocks plus the five [T, H, Bt] history scratches at the tile size
+    `_pick_bt` would choose.  Callers (GRU / DynamicGRU) fall back to the
+    lax.scan path when this fails — e.g. odd batch sizes that force Bt == B,
+    or very long sequences."""
+    bt = _pick_bt(B)
+    hp = -(-H // 8) * 8  # sublane padding
+    blocks = 2 * T * 3 * hp * bt  # gi in + dgi out
+    scratch = 5 * T * hp * bt     # h/r/zu/n/hn histories
+    return 4 * (blocks + scratch) <= 64 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def gru_scan(cell, gi, w, b, att, valid, h0):
     """Run the full recurrence; returns outs [T, H, B] (frozen past length).
