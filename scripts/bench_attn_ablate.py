@@ -11,6 +11,7 @@ Usage: python scripts/bench_attn_ablate.py [G S dh]
 
 import functools
 import json
+import math
 import os
 import sys
 import time
@@ -38,7 +39,11 @@ def main():
     except Exception:
         pass
 
-    from xdeepfm_tpu.ops.attention_pallas import _pick_bt, _LOG2E
+    from xdeepfm_tpu.ops.attention_pallas import _pick_bt
+
+    # The production kernel dropped the exp2 softmax (and its _LOG2E
+    # constant); keep the ablation's exp2 form self-contained here.
+    _LOG2E = math.log2(math.e)
 
     scale = 1.0 / np.sqrt(DH)
     Bt = _pick_bt(G, S)

@@ -322,3 +322,54 @@ def test_xdftrain_streaming_final(criteo_file, tmp_path):
     with open(os.path.join(out, "training_log_full.json")) as f:
         saved = json.load(f)
     assert saved["data_info"]["total_samples"] == 400
+
+
+def test_xdftrain_pro_headerless_and_39col_test(tmp_path):
+    """Pro reader variant end-to-end (xdftrain_pro.py:123-190, 225-250): a
+    HEADERLESS labeled train file (with one non-numeric dense cell) plus a
+    39-column unlabeled --test_path file must both parse; an unlabeled file
+    as --data_path must be rejected."""
+    import pytest
+
+    from xdeepfm_tpu.cli.xdftrain_pro import main
+
+    rng = np.random.default_rng(3)
+    train = tmp_path / "train_headerless.txt"
+    with open(train, "w") as f:
+        for i in range(300):
+            dense = [f"{rng.uniform(0, 10):.2f}" for _ in range(13)]
+            if i == 11:
+                dense[5] = "n/a"  # pro coerces garbage dense to 0
+            sparse = [f"c{rng.integers(0, 12)}" for _ in range(26)]
+            label = int(rng.uniform() < 0.4)
+            f.write("\t".join([str(label)] + dense + sparse) + "\n")
+    test = tmp_path / "test39.txt"
+    with open(test, "w") as f:
+        for _ in range(40):
+            dense = [f"{rng.uniform(0, 10):.2f}" for _ in range(13)]
+            sparse = [f"c{rng.integers(0, 12)}" for _ in range(26)]
+            f.write("\t".join(dense + sparse) + "\n")
+
+    out = str(tmp_path / "out_pro_headerless")
+    log = main(
+        [
+            "--data_path", str(train), "--test_path", str(test),
+            "--out_dir", out, "--mode", "eval", "--epochs", "1",
+            "--batch_size", "64", "--embedding_dim", "4", "--verbose", "0",
+            "--sfg_hidden_units", "8",
+        ]
+    )
+    assert log["data_info"]["train_samples"] == 270
+    assert os.path.exists(os.path.join(out, "test_predictions.csv"))
+    with open(os.path.join(out, "test_predictions.csv")) as f:
+        assert len(f.read().splitlines()) == 41  # header + 40 rows
+
+    # unlabeled data as the labeled input -> hard error, as the reference
+    with pytest.raises(ValueError):
+        main(
+            [
+                "--data_path", str(test), "--out_dir",
+                str(tmp_path / "bad"), "--mode", "eval", "--epochs", "1",
+                "--batch_size", "64", "--verbose", "0",
+            ]
+        )

@@ -128,3 +128,96 @@ def test_validation_data_tuple3():
     assert "val_auc" in h.history
     with pytest.raises(ValueError):
         m.fit(x, y, epochs=1, verbose=0, validation_data=(x,))
+
+
+def _write_rows(path, rows, header=None, sep="\t"):
+    with open(path, "w") as f:
+        if header:
+            f.write(sep.join(header) + "\n")
+        for r in rows:
+            f.write(sep.join(str(v) for v in r) + "\n")
+
+
+def _synth_criteo_rows(n, labeled=True, seed=0, garbage_dense_at=None):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        dense = [f"{rng.uniform(0, 10):.2f}" for _ in range(13)]
+        if garbage_dense_at is not None and i == garbage_dense_at:
+            dense[3] = "oops"
+        sparse = [f"v{rng.integers(0, 8)}" for _ in range(26)]
+        row = dense + sparse
+        if labeled:
+            row = [int(rng.uniform() < 0.4)] + row
+        rows.append(row)
+    return rows
+
+
+def test_pro_reader_headerless_labeled(tmp_path):
+    """Pro variant (xdftrain_pro.py:123-190): a headerless 40-column file is
+    detected as labeled and parsed with the canonical column names."""
+    from xdeepfm_tpu.data import CRITEO_COLUMNS, read_criteo_like
+
+    p = tmp_path / "headerless40.txt"
+    _write_rows(p, _synth_criteo_rows(50, labeled=True))
+    df = read_criteo_like(str(p), require_label=True)
+    assert list(df.columns) == CRITEO_COLUMNS
+    assert len(df) == 50
+    assert set(df["label"].unique()) <= {0, 1}
+
+
+def test_pro_reader_39col_dummy_label_and_require(tmp_path):
+    """39-column (unlabeled) file: dummy label 0 injected when allowed,
+    ValueError when a label is required (xdftrain_pro.py:146-156)."""
+    from xdeepfm_tpu.data import CRITEO_COLUMNS, read_criteo_like
+
+    p = tmp_path / "headerless39.txt"
+    _write_rows(p, _synth_criteo_rows(30, labeled=False))
+    df = read_criteo_like(str(p), require_label=False)
+    assert list(df.columns) == CRITEO_COLUMNS
+    assert (df["label"] == 0).all()
+    with pytest.raises(ValueError):
+        read_criteo_like(str(p), require_label=True)
+
+
+def test_pro_reader_base_variant_unchanged(tmp_path):
+    """require_label=None keeps the base reader: mixed header/data separators
+    still resolve to the canonical schema (xdftrain.py:125-162)."""
+    from xdeepfm_tpu.data import CRITEO_COLUMNS, read_criteo_like
+
+    p = tmp_path / "mixed.txt"
+    _write_rows(
+        p, _synth_criteo_rows(20, labeled=True), header=CRITEO_COLUMNS,
+        sep="\t",
+    )
+    # rewrite header comma-separated, rows tab-separated (mixed case)
+    lines = open(p).read().splitlines()
+    lines[0] = ",".join(CRITEO_COLUMNS)
+    open(p, "w").write("\n".join(lines) + "\n")
+    df = read_criteo_like(str(p))
+    assert list(df.columns) == CRITEO_COLUMNS
+    assert len(df) == 20
+
+
+def test_prepare_features_coerce_dense(tmp_path):
+    """coerce_dense=True (pro variant, xdftrain_pro.py:225-250): non-numeric
+    dense values become 0 instead of raising."""
+    from xdeepfm_tpu.data import (
+        CRITEO_DENSE,
+        CRITEO_SPARSE,
+        prepare_features,
+        read_criteo_like,
+    )
+
+    p = tmp_path / "garbage.txt"
+    _write_rows(p, _synth_criteo_rows(40, labeled=True, garbage_dense_at=7))
+    df = read_criteo_like(str(p), require_label=True)
+    dfp, enc, scaler = prepare_features(
+        df, CRITEO_SPARSE, CRITEO_DENSE, fit_df=df, coerce_dense=True
+    )
+    assert np.isfinite(dfp[CRITEO_DENSE].values).all()
+    # the garbage cell scaled from 0 (the coerced value)
+    assert dfp[CRITEO_DENSE].values.dtype == np.float32
+    # base variant raises on the same frame
+    with pytest.raises(ValueError):
+        prepare_features(df, CRITEO_SPARSE, CRITEO_DENSE, fit_df=df)

@@ -120,23 +120,32 @@ def base_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_labeled(path, name):
+def _reader_opts(args):
+    """Per-CLI reader variant: the pro CLI (``args.pro_reader``) uses the
+    column-count-detecting reader (``xdftrain_pro.py:123-190``) and coerces
+    non-numeric dense values to 0 (``xdftrain_pro.py:225-250``); the other
+    CLIs keep the base reader.  Returns (require_label, coerce_dense)."""
+    pro = bool(getattr(args, "pro_reader", False))
+    return (True if pro else None), pro
+
+
+def _load_labeled(path, name, require_label=None):
     import pandas as pd
 
     print(f"[INFO] Loading {name} data from: {path}")
-    df = read_criteo_like(path)
+    df = read_criteo_like(path, require_label=require_label)
     print(f"[DEBUG] {name} data shape: {df.shape}")
     df["label"] = pd.to_numeric(df["label"], errors="coerce")
     nan_count = int(df["label"].isna().sum())
     if nan_count > 0:
-        print(f"[WARN] Found {nan_count} NaN labels, filling with 0")
+        print(f"[WARN] {nan_count} labels were NaN; treating them as 0")
     df["label"] = df["label"].fillna(0).astype("float32")
     pos_ratio = float((df["label"] == 1).sum() / len(df))
     print(f"[DEBUG] {name} positive ratio: {pos_ratio:.4f}")
     if pos_ratio == 0.0:
         print(
-            "[ERROR] All labels are 0! This will cause loss=0. Check data file "
-            "format!"
+            "[ERROR] No positive labels in this file — training loss will be "
+            "degenerate; verify the data format"
         )
     elif pos_ratio == 1.0:
         print("[ERROR] All labels are 1! Check data file format!")
@@ -200,6 +209,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
 
     setup_jax_cache()
     set_seed(args.seed)
+    require_label, coerce_dense = _reader_opts(args)
     os.makedirs(args.out_dir, exist_ok=True)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     tb_log_dir = os.path.join(args.out_dir, f"tensorboard_{timestamp}")
@@ -311,14 +321,16 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         )
         if stats["label_nan"] > 0:
             print(
-                f"[WARN] Found {stats['label_nan']} NaN labels, filling with 0"
+                f"[WARN] {stats['label_nan']} labels were NaN; treating "
+                "them as 0"
             )
         train_pos_ratio = stats["pos_ratio"]
         print(
             f"[DEBUG] Train samples: {stats['n']}, positive ratio: "
             f"{train_pos_ratio:.4f}"
         )
-        eval_df, _ = _load_labeled(args.eval_path, "Eval")
+        eval_df, _ = _load_labeled(args.eval_path, "Eval",
+                                   require_label=require_label)
         # encoders fit on train+eval combined, as in the bulk path
         # (xdftrain.py:372-383)
         extend_preprocessors(
@@ -330,7 +342,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         )
         eval_dfp, _, _ = prepare_features(
             eval_df, sparse_features, dense_features, encoders=encoders,
-            scaler=scaler,
+            scaler=scaler, coerce_dense=coerce_dense,
         )
         eval_x = build_model_input(eval_dfp, feature_names)
         y_eval = eval_dfp[[target]].values
@@ -342,7 +354,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
             )
             test_dfp, _, _ = prepare_features(
                 test_df, sparse_features, dense_features, encoders=encoders,
-                scaler=scaler,
+                scaler=scaler, coerce_dense=coerce_dense,
             )
             test_x = build_model_input(test_dfp, feature_names)
             n_test = len(test_dfp)
@@ -386,9 +398,12 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
             "feature_names": feature_names,
         }
     else:
-        train_df, train_pos_ratio = _load_labeled(args.data_path, "Train")
+        train_df, train_pos_ratio = _load_labeled(
+            args.data_path, "Train", require_label=require_label
+        )
         if args.eval_path:
-            eval_df, _ = _load_labeled(args.eval_path, "Eval")
+            eval_df, _ = _load_labeled(args.eval_path, "Eval",
+                                   require_label=require_label)
         else:
             print(
                 f"[INFO] No eval_path provided, splitting "
@@ -413,14 +428,15 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         # fit encoders on train+eval combined (xdftrain.py:372-383)
         all_labeled_df = pd.concat([train_df, eval_df], axis=0, ignore_index=True)
         all_labeled_df, encoders, scaler = prepare_features(
-            all_labeled_df, sparse_features, dense_features, fit_df=all_labeled_df
+            all_labeled_df, sparse_features, dense_features,
+            fit_df=all_labeled_df, coerce_dense=coerce_dense,
         )
         train_dfp = all_labeled_df.iloc[: len(train_df)].copy()
         eval_dfp = all_labeled_df.iloc[len(train_df) :].copy()
         if test_df is not None:
             test_dfp, _, _ = prepare_features(
                 test_df, sparse_features, dense_features, encoders=encoders,
-                scaler=scaler,
+                scaler=scaler, coerce_dense=coerce_dense,
             )
 
         linear_cols, dnn_cols, feature_names = build_feature_columns(
@@ -579,6 +595,7 @@ def run_eval_v1(args, build_model, model_name="xdeepfm_v1", extra_config=None):
 
     setup_jax_cache()
     set_seed(args.seed)
+    require_label, coerce_dense = _reader_opts(args)
     os.makedirs(args.out_dir, exist_ok=True)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     tb_log_dir = os.path.join(args.out_dir, f"tensorboard_{timestamp}")
@@ -590,7 +607,8 @@ def run_eval_v1(args, build_model, model_name="xdeepfm_v1", extra_config=None):
     dense_features = list(CRITEO_DENSE)
     target = "label"
 
-    df, pos_ratio = _load_labeled(args.data_path, "Full")
+    df, pos_ratio = _load_labeled(args.data_path, "Full",
+                                  require_label=require_label)
     n_total = len(df)
     stratify = df[target] if args.stratify else None
     train_df, test_df = train_test_split(
@@ -745,6 +763,7 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
 
     setup_jax_cache()
     set_seed(args.seed)
+    require_label, coerce_dense = _reader_opts(args)
     os.makedirs(args.out_dir, exist_ok=True)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     tb_log_dir = os.path.join(args.out_dir, f"tensorboard_{timestamp}")
@@ -773,7 +792,8 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
             embedding_dim=args.embedding_dim,
         )
     else:
-        df, pos_ratio = _load_labeled(args.data_path, "Full")
+        df, pos_ratio = _load_labeled(args.data_path, "Full",
+                                  require_label=require_label)
         df, encoders, scaler = prepare_features(
             df, sparse_features, dense_features, fit_df=df
         )

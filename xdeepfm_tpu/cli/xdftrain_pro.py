@@ -71,6 +71,9 @@ def build_model(args, linear_cols, dnn_cols, final_mode=False):
 
 def main(argv=None):
     args = parse_args(argv)
+    # pro reader variant: column-count label detection + dense coercion
+    # (xdftrain_pro.py:123-190, 225-250)
+    args.pro_reader = True
     extra = {
         "use_sfg": args.use_sfg,
         "sfg_weight": args.sfg_weight,

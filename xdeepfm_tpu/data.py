@@ -52,15 +52,50 @@ def _read_csv_fast(path, sep, names=None, skiprows=0, header="infer"):
         return pd.read_csv(path, **kwargs)
 
 
-def read_criteo_like(path: str):
+def read_criteo_like(path: str, require_label: Optional[bool] = None):
     """Robust Criteo reader (``xdftrain.py:125-162``): handles tab/comma and
-    mixed header/data separators; columns label, I1..I13, C1..C26."""
-    expected = CRITEO_COLUMNS
+    mixed header/data separators; columns label, I1..I13, C1..C26.
+
+    ``require_label=None`` keeps the base CLI variant above (the file is
+    assumed labeled).  Passing True/False selects the pro CLI variant
+    (``xdftrain_pro.py:123-190``): the data row's column count decides the
+    schema — 40 columns = labeled, 39 = unlabeled (a dummy ``label`` column
+    of zeros is injected, or ``ValueError`` when ``require_label=True``);
+    any other count falls back to checking the header for ``label``.
+    """
     with open(path, "r", encoding="utf-8", errors="ignore") as f:
         header_line = f.readline().strip()
         data_line = f.readline().strip()
     header_sep = "\t" if ("\t" in header_line and "," not in header_line) else ","
     data_sep = "\t" if "\t" in data_line else ","
+
+    has_label = True
+    if require_label is not None:
+        num_cols = len(data_line.split(data_sep))
+        print(f"[DEBUG] Detected {num_cols} columns in data file: {path}")
+        if num_cols == len(CRITEO_COLUMNS):  # 40 = label + 13 dense + 26 sparse
+            has_label = True
+        elif num_cols == len(CRITEO_COLUMNS) - 1:  # 39 = no label
+            has_label = False
+            if require_label:
+                print(
+                    f"[ERROR] {path} has 39 columns (unlabeled); labeled "
+                    "data is required here — unlabeled files go through "
+                    "--test_path"
+                )
+                raise ValueError(
+                    f"Eval data must have label column. File {path} has "
+                    "only 39 columns."
+                )
+        else:
+            has_label = "label" in header_line.split(header_sep)
+            print(
+                f"[WARN] Unexpected column count: {num_cols}, "
+                f"has_label={has_label}"
+            )
+    expected = CRITEO_COLUMNS if has_label else CRITEO_DENSE + CRITEO_SPARSE
+
+    df = None
     if header_sep != data_sep:
         print(
             f"[WARN] separator mismatch: header delimited by {header_sep!r}, "
@@ -68,11 +103,14 @@ def read_criteo_like(path: str):
         )
         header_cols = header_line.split(header_sep)
         if all(c in header_cols for c in expected):
-            return _read_csv_fast(path, data_sep, names=expected, skiprows=1)
-    df = _read_csv_fast(path, data_sep)
-    if all(c in df.columns for c in expected):
-        return df
-    return _read_csv_fast(path, data_sep, names=expected)
+            df = _read_csv_fast(path, data_sep, names=expected, skiprows=1)
+    if df is None:
+        df = _read_csv_fast(path, data_sep)
+        if not all(c in df.columns for c in expected):
+            df = _read_csv_fast(path, data_sep, names=expected)
+    if not has_label and "label" not in df.columns:
+        df.insert(0, "label", 0)
+    return df
 
 
 def read_criteo_test(path: str, sparse_features, dense_features):
@@ -166,16 +204,33 @@ def prepare_features(
     fit_df=None,
     encoders: Optional[Dict[str, SafeLabelEncoder]] = None,
     scaler: Optional[MinMaxScaler] = None,
+    coerce_dense: bool = False,
 ):
     """fillna + encode + scale (``xdftrain.py:192-237``).  If fit_df is given,
-    fit encoders/scaler on it; else use the provided ones."""
+    fit encoders/scaler on it; else use the provided ones.
+
+    ``coerce_dense=True`` is the pro CLI variant
+    (``xdftrain_pro.py:225-250``): dense columns are first run through
+    ``pd.to_numeric(errors='coerce').fillna(0)`` so non-numeric garbage in a
+    numeric field becomes 0 instead of raising on the astype below.
+    """
+    import pandas as pd
+
+    def _clean_dense(frame):
+        for feat in dense_features:
+            frame[feat] = pd.to_numeric(frame[feat], errors="coerce").fillna(0)
+
     df = df.copy()
     df[sparse_features] = df[sparse_features].fillna("-1")
+    if coerce_dense:
+        _clean_dense(df)
     df[dense_features] = df[dense_features].fillna(0)
 
     if fit_df is not None:
         fit_df = fit_df.copy()
         fit_df[sparse_features] = fit_df[sparse_features].fillna("-1")
+        if coerce_dense:
+            _clean_dense(fit_df)
         fit_df[dense_features] = fit_df[dense_features].fillna(0)
         encoders = {
             feat: SafeLabelEncoder.fit(fit_df[feat]) for feat in sparse_features

@@ -205,7 +205,11 @@ def fits_vmem(T: int, H: int, B: int) -> bool:
     hp = -(-H // 8) * 8  # sublane padding
     blocks = 2 * T * 3 * hp * bt  # gi in + dgi out
     scratch = 5 * T * hp * bt     # h/r/zu/n/hn histories
-    return 4 * (blocks + scratch) <= 64 * 1024 * 1024
+    # plus the incoming cotangent block g [T, H, Bt] and the outs history the
+    # forward leaves resident for it — previously omitted, which understated
+    # the working set vs the 100 MB vmem_limit_bytes guard.
+    cotangent = 2 * T * hp * bt
+    return 4 * (blocks + scratch + cotangent) <= 64 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
