@@ -1,6 +1,6 @@
 """Benchmark: xDeepFM training-step throughput on the default device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Shapes mirror the reference's canonical Criteo config (run.bash:12-26,
 models/xdeepfm.py:42-44): 26 sparse fields (vocab 10k, emb 10), 13 dense,
@@ -14,9 +14,23 @@ publishes no numbers — BASELINE.md).  Measured 2026-08-17 with
 Timing is slope-based (t(N2)-t(N1))/(N2-N1) over chained steps with a value
 fetch at the end, so the per-call device-tunnel RTT cancels out and only true
 device step time is measured.
+
+Capture hardening (the driver runs this under an external timeout; a slow
+tunnel compile must not cost the round its perf artifact): the measurement
+runs in a CHILD process that checkpoints results to a state file in stages —
+device health probe, a preliminary short-slope number right after compile,
+then the refined long-slope number.  The parent holds no jax state; if the
+deadline (BENCH_DEADLINE_S, default 500s) arrives mid-measurement it prints
+the best checkpointed result and exits 0, leaving the child to finish in the
+background rather than killing it (a TPU client killed mid-compile can wedge
+the chip for the next run).
 """
 
 import json
+import os
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
@@ -64,9 +78,31 @@ def model_flops_per_step(batch=BATCH, m=N_SPARSE, d=EMB,
     return 3.0 * fwd
 
 
-def main():
-    import os
+def result_json(step_s, refined):
+    examples_per_s = BATCH / step_s
+    tflops_per_s = model_flops_per_step() / step_s / 1e12
+    return {
+        "metric": "xdeepfm_train_examples_per_s",
+        "value": round(examples_per_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_s / REFERENCE_BASELINE, 3),
+        "model_tflops_per_s": round(tflops_per_s, 2),
+        "mfu_pct_bf16_peak": round(
+            100.0 * tflops_per_s * 1e12 / PEAK_FLOPS_BF16, 2
+        ),
+        "refined": bool(refined),
+    }
 
+
+def _write_state(path, obj):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)  # atomic vs the polling parent
+
+
+def child_main(state_path):
+    """All device work lives here; progress is checkpointed to state_path."""
     import jax
 
     # persistent compilation cache: the train-step compile dominates bench
@@ -80,6 +116,18 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+
+    # Stage 0: device health probe — a tiny matmul with a value fetch.  If
+    # the chip is wedged from a previous killed client this hangs here, the
+    # parent deadline fires cheaply, and no big compile is left in flight.
+    t0 = time.time()
+    probe = float(
+        (jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum().block_until_ready()
+    )
+    _write_state(state_path, {
+        "stage": "healthy", "probe_s": round(time.time() - t0, 2),
+        "probe": probe,
+    })
 
     from xdeepfm_tpu.features import DenseFeat, SparseFeat
     from xdeepfm_tpu.models import xDeepFM
@@ -122,27 +170,90 @@ def main():
         return time.time() - t0
 
     run(2, 0)  # compile + warmup
-    n1, n2 = 10, 40
-    d1 = run(n1, 2)
-    d2 = run(n2, 2 + n1)
-    step_s = (d2 - d1) / (n2 - n1)
-    examples_per_s = BATCH / step_s
-    tflops_per_s = model_flops_per_step() / step_s / 1e12
 
-    print(
-        json.dumps(
-            {
-                "metric": "xdeepfm_train_examples_per_s",
-                "value": round(examples_per_s, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(examples_per_s / REFERENCE_BASELINE, 3),
-                "model_tflops_per_s": round(tflops_per_s, 2),
-                "mfu_pct_bf16_peak": round(
-                    100.0 * tflops_per_s * 1e12 / PEAK_FLOPS_BF16, 2
-                ),
-            }
+    # Stage 1: preliminary short-slope measurement, checkpointed immediately
+    # so a deadline during the longer run still yields a real number.
+    q1 = run(2, 2)
+    q2 = run(8, 4)
+    step_quick = (q2 - q1) / 6.0
+    _write_state(state_path, {
+        "stage": "preliminary", "result": result_json(step_quick, False),
+    })
+
+    # Stage 2: refined long-slope measurement.
+    n1, n2 = 10, 40
+    d1 = run(n1, 12)
+    d2 = run(n2, 12 + n1)
+    step_s = (d2 - d1) / (n2 - n1)
+    _write_state(state_path, {
+        "stage": "done", "result": result_json(step_s, True),
+    })
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child_main(sys.argv[2])
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--inline":
+        # debugging path: single process, result straight to stdout
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+            state_path = f.name
+        child_main(state_path)
+        with open(state_path) as f:
+            print(json.dumps(json.load(f)["result"]))
+        return
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "500"))
+    fd, state_path = tempfile.mkstemp(suffix=".json", prefix="bench_state_")
+    os.close(fd)
+    os.unlink(state_path)
+    log_path = os.environ.get("BENCH_CHILD_LOG", "/tmp/bench_child.log")
+    with open(log_path, "w") as log:
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", state_path],
+            stdout=log, stderr=subprocess.STDOUT,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    )
+    t0 = time.time()
+    state = None
+    while time.time() - t0 < deadline:
+        if os.path.exists(state_path):
+            try:
+                with open(state_path) as f:
+                    state = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                pass  # mid-replace; next poll sees the full file
+        if state is not None and state.get("stage") == "done":
+            break
+        if child.poll() is not None:
+            break  # child exited (done or crashed) — use what it left
+        time.sleep(1.0)
+
+    if state is None and os.path.exists(state_path):
+        try:
+            with open(state_path) as f:
+                state = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            state = None
+
+    if state is not None and "result" in state:
+        print(json.dumps(state["result"]))
+        # deadline hit before "done": leave the child to finish on its own —
+        # killing a TPU client mid-dispatch risks wedging the chip.
+        if state.get("stage") == "done" or child.poll() is not None:
+            try:
+                os.unlink(state_path)
+            except OSError:
+                pass
+        sys.exit(0)
+
+    # No measurement at all: fail fast and loudly (rc != 0, no JSON line) so
+    # the driver records an honest failure instead of a timeout.
+    stage = (state or {}).get("stage", "no state (device init or compile "
+                                       "never completed)")
+    print(f"bench: no result before deadline; last stage: {stage}; "
+          f"child log: {log_path}", file=sys.stderr)
+    sys.exit(2 if child.poll() is None else 3)
 
 
 if __name__ == "__main__":
