@@ -169,3 +169,60 @@ def test_interacting_layer_lane_path_matches_xla(rng, lane_interpret):
     la.set_interpret(True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+# ---- fully-fused attention block (ops/attn_block_pallas.py) ----------------
+
+
+@pytest.mark.parametrize(
+    "cls_name,kw",
+    [
+        ("CINAttention", {}),
+        ("CINAttention", {"use_residual": False}),
+        ("CINAttention", {"use_layer_norm": False}),
+        ("CINAttentionV2", {"num_attn_layers": 2}),
+        ("CINAttentionV2", {"num_attn_layers": 2, "use_layer_norm": False}),
+    ],
+)
+def test_fused_attn_block_matches_xla(rng, cls_name, kw):
+    """The one-kernel attention block (q/k/v/o + residual + LN + pooling,
+    interpret mode) matches the unfused XLA composition — forward AND all
+    gradients (params + input)."""
+    from xdeepfm_tpu.nn import cin_attention as ca
+    from xdeepfm_tpu.ops import attn_block_pallas as abp
+
+    cls = getattr(ca, cls_name)
+    B, m, E = 8, 6, 10
+    x = jnp.asarray(rng.normal(size=(B, m, E)).astype(np.float32))
+    layer = cls(field_size=m, embedding_size=E, layer_size=(8, 6),
+                num_heads=2, **kw)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, xin, backend):
+        abp.set_backend(backend)
+        out = layer.apply({"params": params}, xin)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    p = variables["params"]
+    try:
+        (l_ref, o_ref), g_ref = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(p, x, "xla")
+        abp.set_interpret(True)
+        (l_fus, o_fus), g_fus = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(p, x, "pallas")
+    finally:
+        abp.set_interpret(False)
+        abp.set_backend("auto")
+
+    np.testing.assert_allclose(
+        np.asarray(o_fus), np.asarray(o_ref), rtol=1e-4, atol=1e-5
+    )
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_fus)[0]
+    assert len(flat_r) == len(flat_f)
+    for (kr, vr), (kf, vf) in zip(flat_r, flat_f):
+        assert kr == kf
+        np.testing.assert_allclose(
+            np.asarray(vf), np.asarray(vr), rtol=1e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(kr),
+        )

@@ -49,33 +49,35 @@ class InterestExtractor(nn.Module):
                 name="auxiliary_net",
             )
 
-    def __call__(self, keys, keys_length, neg_keys=None, training=False):
-        interests, _ = self.gru(keys, keys_length)  # [B, T, H]
+    def __call__(self, keys_t, keys_length, neg_keys_t=None, training=False):
+        """keys_t [T, H, B] (transposed lane space — see DIENModule).
+        Returns (FROZEN interests_t [T, H, B], aux_loss)."""
+        interests_t, _ = self.gru.call_t(keys_t, keys_length.reshape(-1))
         aux_loss = jnp.zeros(())
-        if self.use_neg and neg_keys is not None:
-            aux_loss = self._cal_auxiliary_loss(
-                interests[:, :-1, :],
-                keys[:, 1:, :],
-                neg_keys[:, 1:, :],
+        if self.use_neg and neg_keys_t is not None:
+            aux_loss = self._cal_auxiliary_loss_t(
+                interests_t[:-1],
+                keys_t[1:],
+                neg_keys_t[1:],
                 keys_length.reshape(-1) - 1,
                 training,
             )
-        return interests, aux_loss
+        return interests_t, aux_loss
 
-    def _cal_auxiliary_loss(self, states, click_seq, noclick_seq, keys_length,
-                            training):
-        B, T, H = states.shape
+    def _cal_auxiliary_loss_t(self, states_t, click_t, noclick_t, lengths,
+                              training):
+        # states/click/noclick [T', 2H-concat pieces, B]; the MLP runs in the
+        # transposed layout so its ~20-100-wide activations never pad to 128
+        # lanes (CLAUDE.md layout playbook; positions past each row's length
+        # are masked out of the loss, so frozen/garbage values there are fine)
+        T1 = states_t.shape[0]
         mask = (
-            jnp.arange(T)[None, :] < keys_length.reshape(-1, 1)
-        ).astype(jnp.float32)  # [B, T]; rows with keys_length<=0 are all-zero
-        click_input = jnp.concatenate([states, click_seq], axis=-1)
-        noclick_input = jnp.concatenate([states, noclick_seq], axis=-1)
-        click_p = self.auxiliary_net(
-            click_input.reshape(B * T, 2 * H), training=training
-        ).reshape(B, T)
-        noclick_p = self.auxiliary_net(
-            noclick_input.reshape(B * T, 2 * H), training=training
-        ).reshape(B, T)
+            jnp.arange(T1)[:, None] < lengths[None, :]
+        ).astype(jnp.float32)[:, None, :]  # [T', 1, B]
+        click_in = jnp.concatenate([states_t, click_t], axis=1)
+        noclick_in = jnp.concatenate([states_t, noclick_t], axis=1)
+        click_p = self.auxiliary_net.call_t(click_in, training=training)
+        noclick_p = self.auxiliary_net.call_t(noclick_in, training=training)
         eps = 1e-7
         click_ll = -jnp.log(jnp.clip(click_p, eps, 1 - eps))
         noclick_ll = -jnp.log(jnp.clip(1 - noclick_p, eps, 1 - eps))
@@ -122,11 +124,42 @@ class InterestEvolving(nn.Module):
                 gru_type=self.gru_type, name="interest_evolution",
             )
 
-    def __call__(self, query, keys, keys_length, training=False):
-        # query [B, H], keys [B, T, H], keys_length [B, 1]
-        B, T, H = keys.shape
+    def __call__(self, query, keys_t, keys_length, training=False):
+        # query [B, H], keys_t [T, H, B] (frozen extractor output),
+        # keys_length [B, 1].  Runs in the transposed lane space end to end
+        # when the attention MLP supports it; falls back to batch-major
+        # otherwise (e.g. Dice activation).
+        T = keys_t.shape[0]
         lengths = keys_length.reshape(-1)
         valid_row = (lengths > 0).astype(query.dtype)[:, None]
+        if self.attention.local_att.supports_transposed:
+            query_t = query.T  # [H, B]
+            if self.gru_type == "GRU":
+                outs2_t, _ = self.interest_evolution.call_t(keys_t, lengths)
+                scores_t = self.attention.scores_t(
+                    query_t, outs2_t, lengths, training=training
+                )  # [T, 1, B]
+                outputs = jnp.sum(scores_t * outs2_t, axis=0).T  # [B, H]
+            elif self.gru_type == "AIGRU":
+                scores_t = self.attention.scores_t(
+                    query_t, keys_t, lengths, training=training
+                )
+                _, h_last = self.interest_evolution.call_t(
+                    keys_t * scores_t, lengths
+                )
+                outputs = h_last.T
+            else:  # AGRU / AUGRU
+                scores_t = self.attention.scores_t(
+                    query_t, keys_t, lengths, training=training
+                )
+                states_t = self.interest_evolution.call_t(
+                    keys_t, scores_t, lengths
+                )
+                # frozen recurrence => last slice is each row's final state
+                outputs = states_t[-1].T
+            return outputs * valid_row
+
+        keys = jnp.transpose(keys_t, (2, 0, 1))  # [B, T, H] fallback
         q3 = query[:, None, :]
         if self.gru_type == "GRU":
             interests, _ = self.interest_evolution(keys, lengths)
@@ -265,11 +298,20 @@ class DIENModule(nn.Module):
         else:
             neg_keys_emb = None
 
-        masked_interest, aux_loss = self.interest_extractor(
-            keys_emb, keys_length, neg_keys_emb, training=training
+        # one relayout into transposed lane space [T, H, B]; the whole
+        # extractor/aux/attention/evolution interior then runs lane-packed
+        # (no [B, T, H<=16] tensor whose lane padding costs 13-26x HBM bytes)
+        keys_t = jnp.transpose(keys_emb, (1, 2, 0))
+        neg_keys_t = (
+            jnp.transpose(neg_keys_emb, (1, 2, 0))
+            if neg_keys_emb is not None
+            else None
+        )
+        interest_t, aux_loss = self.interest_extractor(
+            keys_t, keys_length, neg_keys_t, training=training
         )
         hist = self.interest_evolution(
-            query_emb, masked_interest, keys_length, training=training
+            query_emb, interest_t, keys_length, training=training
         )  # [B, H]
         deep_input_emb = jnp.concatenate(
             [

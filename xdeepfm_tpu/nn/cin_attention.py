@@ -2,8 +2,14 @@
 
 Replaces CIN's sum-pool over the embedding axis with MHSA over the feature-map
 axis + attention pooling.  Feature-map counts are <= a few hundred, so this is a
-small-sequence attention — plain XLA matmuls, no sequence sharding needed
-(SURVEY.md §5).
+small-sequence attention — no sequence sharding needed (SURVEY.md §5).
+
+On single-chip TPU the whole post-CIN block (q/k/v/o projections, residual,
+LayerNorm, attention pooling — for V2, every stacked layer) runs as ONE fused
+Pallas kernel (``ops/attn_block_pallas.py``): the [B, E, S] activation is read
+from HBM once instead of being re-materialized by each glue op.  All modules
+are setup-based (not @nn.compact) so the SAME parameter tree exists whichever
+path executes.
 """
 
 from __future__ import annotations
@@ -12,6 +18,7 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .activations import make_activation
@@ -24,26 +31,61 @@ from .interaction import (
 
 
 class DenseT(nn.Module):
-    """``nn.Dense`` over the CHANNEL axis of a transposed [B, E, S] tensor
-    (param tree identical to ``nn.Dense``: kernel [in, out] + optional bias),
-    so linear layers consume lane-compact transposed activations directly."""
+    """Linear layer whose params match ``nn.Dense`` (kernel [in, out] +
+    optional bias) but whose default ``__call__`` consumes the CHANNEL axis of
+    a transposed [B, E, S] tensor; ``last_axis`` applies the classic
+    last-axis contraction for batch-major inputs.  Setup-based so the fused
+    block can read the weights without running either contraction."""
 
     features: int
+    in_features: int
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer = nn.initializers.glorot_uniform()
 
-    @nn.compact
-    def __call__(self, x_t):
-        kernel = self.param(
-            "kernel", self.kernel_init, (x_t.shape[1], self.features)
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features)
         )
-        y = jnp.einsum("bes,ef->bfs", x_t, kernel)
         if self.use_bias:
-            bias = self.param(
+            self.bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,)
             )
-            y = y + bias[None, :, None]
+
+    def __call__(self, x_t):
+        y = jnp.einsum("bes,ef->bfs", x_t, self.kernel)
+        if self.use_bias:
+            y = y + self.bias[None, :, None]
         return y
+
+    def last_axis(self, x):
+        y = x @ self.kernel
+        if self.use_bias:
+            y = y + self.bias
+        return y
+
+
+class LayerNormT(nn.Module):
+    """LayerNorm over the E axis of a transposed [B, E, S] tensor.  Params
+    ("scale", "bias", shape [E]) and numerics (fast variance, eps) match
+    ``nn.LayerNorm(reduction_axes=-2, feature_axes=-2)``, which it replaces
+    so the fused block can read the weights directly."""
+
+    features: int
+    epsilon: float = 1e-6
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+
+    def __call__(self, x):
+        mu = jnp.mean(x, axis=-2, keepdims=True)
+        var = jnp.mean(x * x, axis=-2, keepdims=True) - mu * mu
+        y = (x - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return y * self.scale[None, :, None] + self.bias[None, :, None]
 
 
 def get_valid_num_heads(embed_dim: int, num_heads: int) -> int:
@@ -65,31 +107,41 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int = 4
     dropout: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        glorot = nn.initializers.glorot_uniform()
+        mk = lambda: DenseT(
+            self.embed_dim, self.embed_dim, use_bias=False, kernel_init=glorot
+        )
+        self.W_q = mk()
+        self.W_k = mk()
+        self.W_v = mk()
+        self.W_o = mk()
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def projection_kernels(self):
+        """Raw (kernel_q, kernel_k, kernel_v, kernel_o) for the fused block."""
+        return (
+            self.W_q.kernel, self.W_k.kernel, self.W_v.kernel, self.W_o.kernel
+        )
+
     def __call__(self, x, training: bool = False, transposed: bool = False):
         """x: [B, S, E] batch-major, or [B, E, S] when ``transposed`` (S on
         the lane axis — the layout the CIN-attention glue runs in)."""
         num_heads = get_valid_num_heads(self.embed_dim, self.num_heads)
         head_dim = self.embed_dim // num_heads
         scale = math.sqrt(head_dim)
-        glorot = nn.initializers.glorot_uniform()
-        if transposed:
-            B, E, S = x.shape
-            dense = lambda name: DenseT(
-                E, use_bias=False, kernel_init=glorot, name=name
-            )
-        else:
-            B, S, E = x.shape
-            dense = lambda name: nn.Dense(
-                E, use_bias=False, kernel_init=glorot, name=name
-            )
         # q/k/v stay in the projections' packed-head layout end to end (head
         # transposes materialized ~11 ms/step of relayout copies at B=4096 on
         # v5e, whichever side performed them); in transposed form the
         # [B, E, S] -> [B*heads, dh, S] head split is a free reshape
-        Q = dense("W_q")(x)
-        K = dense("W_k")(x)
-        V = dense("W_v")(x)
+        if transposed:
+            B, E, S = x.shape
+            Q, K, V = self.W_q(x), self.W_k(x), self.W_v(x)
+        else:
+            B, S, E = x.shape
+            Q = self.W_q.last_axis(x)
+            K = self.W_k.last_axis(x)
+            V = self.W_v.last_axis(x)
         if self.dropout == 0.0 or not training:
             # fused VMEM-resident attention by default on single-chip TPU
             # (ops/attention_pallas.py), XLA einsums elsewhere
@@ -106,9 +158,7 @@ class MultiHeadSelfAttention(nn.Module):
             Vr = V.reshape(B, num_heads, head_dim, S)
             scores = jnp.einsum("bhds,bhdt->bhst", Qr, Kr) / scale
             probs = nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(rate=self.dropout)(
-                probs, deterministic=not training
-            )
+            probs = self.drop(probs, deterministic=not training)
             out = jnp.einsum("bhst,bhdt->bhds", probs, Vr).reshape(B, E, S)
         else:
             Qr = Q.reshape(B, S, num_heads, head_dim)
@@ -116,11 +166,9 @@ class MultiHeadSelfAttention(nn.Module):
             Vr = V.reshape(B, S, num_heads, head_dim)
             scores = jnp.einsum("bshd,bthd->bhst", Qr, Kr) / scale
             probs = nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(rate=self.dropout)(
-                probs, deterministic=not training
-            )
+            probs = self.drop(probs, deterministic=not training)
             out = jnp.einsum("bhst,bthd->bshd", probs, Vr).reshape(B, S, E)
-        return dense("W_o")(out)
+        return self.W_o(out) if transposed else self.W_o.last_axis(out)
 
 
 class AttentionPooling(nn.Module):
@@ -130,24 +178,75 @@ class AttentionPooling(nn.Module):
     embed_dim: int
     hidden_dim: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, x, transposed: bool = False):
-        """x: [B, S, E], or [B, E, S] when ``transposed``.  Returns [B, E]."""
+    def setup(self):
         hidden = self.hidden_dim or self.embed_dim
         glorot = nn.initializers.glorot_uniform()
+        self.fc1 = DenseT(hidden, self.embed_dim, kernel_init=glorot)
+        self.fc2 = DenseT(1, hidden, use_bias=False, kernel_init=glorot)
+
+    def pooling_params(self):
+        """(W1 [E, hidden], b1 [hidden], w2 [hidden, 1]) for the fused
+        block."""
+        return self.fc1.kernel, self.fc1.bias, self.fc2.kernel
+
+    def __call__(self, x, transposed: bool = False):
+        """x: [B, S, E], or [B, E, S] when ``transposed``.  Returns [B, E]."""
         if transposed:
-            h = DenseT(hidden, kernel_init=glorot, name="fc1")(x)
-            h = jnp.tanh(h)
-            scores = DenseT(1, use_bias=False, kernel_init=glorot, name="fc2")(h)
+            h = jnp.tanh(self.fc1(x))
+            scores = self.fc2(h)
             weights = nn.softmax(scores, axis=-1)  # [B, 1, S]
             return jnp.einsum("bos,bes->be", weights, x)
-        h = nn.Dense(
-            hidden, kernel_init=glorot, bias_init=nn.initializers.zeros, name="fc1"
-        )(x)
-        h = jnp.tanh(h)
-        scores = nn.Dense(1, use_bias=False, kernel_init=glorot, name="fc2")(h)
+        h = jnp.tanh(self.fc1.last_axis(x))
+        scores = self.fc2.last_axis(h)
         weights = nn.softmax(scores, axis=1)  # [B, S, 1]
         return jnp.sum(weights * x, axis=1)
+
+
+def _fused_block_apply(x_t, mhsas, layer_norms, pooling, num_heads,
+                      use_residual, use_layer_norm, training):
+    """Run the fused attention-block kernel over transposed CIN output.
+
+    ``mhsas``/``layer_norms``: per-layer module lists (len L).  Returns the
+    pooled [B, E] or None when the fused path is unavailable.
+    """
+    from ..ops import attn_block_pallas as abp
+
+    if not abp.use_fused_block():
+        return None
+    B, E, S = x_t.shape
+    heads = get_valid_num_heads(E, num_heads)
+    dh = E // heads
+    wq, wk, wv, wo = [], [], [], []
+    for m in mhsas:
+        kq, kk, kv, ko = m.projection_kernels()
+        wq.append(abp.pack_projection(kq, heads))
+        wk.append(abp.pack_projection(kk, heads))
+        wv.append(abp.pack_projection(kv, heads))
+        wo.append(abp.pack_out_projection(ko, heads))
+    L = len(mhsas)
+    wq = jnp.concatenate(wq, axis=0)     # [L*H, E, dh]
+    wk = jnp.concatenate(wk, axis=0)
+    wv = jnp.concatenate(wv, axis=0)
+    wo = jnp.concatenate(wo, axis=0)     # [L*H, dh, E]
+    if use_layer_norm:
+        gamma = jnp.stack([ln.scale for ln in layer_norms])[:, :, None]
+        beta = jnp.stack([ln.bias for ln in layer_norms])[:, :, None]
+    else:
+        gamma = jnp.ones((L, E, 1), jnp.float32)
+        beta = jnp.zeros((L, E, 1), jnp.float32)
+    w1, b1, w2 = pooling.pooling_params()
+    if mhsas[0].is_initializing():
+        # touching the params above created them; skip the kernel so model
+        # construction doesn't pay a Mosaic compile for a throwaway value
+        return jnp.zeros((B, E), x_t.dtype)
+    cfg = abp.BlockCfg(
+        layers=L, heads=heads, scale=1.0 / math.sqrt(dh),
+        use_residual=use_residual, use_layer_norm=use_layer_norm, eps=1e-6,
+    )
+    return abp.attn_block(
+        cfg, x_t, wq, wk, wv, wo, gamma, beta, w1,
+        b1[:, None], w2,
+    )
 
 
 class CINAttention(nn.Module):
@@ -183,18 +282,14 @@ class CINAttention(nn.Module):
             embed_dim=self.embedding_size,
             num_heads=self.num_heads,
             dropout=self.attn_dropout,
-            name="mhsa",
         )
         if self.use_layer_norm:
             # normalize over the E axis of the transposed [B, E, S] block
             # (same math/params as the reference's last-axis LN on [B, S, E])
-            self.layer_norm = nn.LayerNorm(
-                reduction_axes=-2, feature_axes=-2, name="layer_norm"
-            )
+            self.layer_norm = LayerNormT(self.embedding_size)
         self.attn_pooling = AttentionPooling(
             embed_dim=self.embedding_size,
             hidden_dim=self.embedding_size,
-            name="attn_pooling",
         )
         self.output_proj = nn.Dense(
             self.featuremap_num,
@@ -219,12 +314,21 @@ class CINAttention(nn.Module):
             self.split_half,
             training=training,
         )  # [B, E, featuremap_num]
-        attn_output = self.mhsa(result, training=training, transposed=True)
-        if self.use_residual:
-            attn_output = attn_output + result
-        if self.use_layer_norm:
-            attn_output = self.layer_norm(attn_output)
-        pooled = self.attn_pooling(attn_output, transposed=True)  # [B, E]
+        pooled = None
+        if self.attn_dropout == 0.0 or not training:
+            pooled = _fused_block_apply(
+                result, [self.mhsa],
+                [self.layer_norm] if self.use_layer_norm else [],
+                self.attn_pooling, self.num_heads, self.use_residual,
+                self.use_layer_norm, training,
+            )
+        if pooled is None:
+            attn_output = self.mhsa(result, training=training, transposed=True)
+            if self.use_residual:
+                attn_output = attn_output + result
+            if self.use_layer_norm:
+                attn_output = self.layer_norm(attn_output)
+            pooled = self.attn_pooling(attn_output, transposed=True)  # [B, E]
         return self.output_proj(pooled)  # [B, featuremap_num]
 
 
@@ -266,15 +370,12 @@ class CINAttentionV2(nn.Module):
         ]
         if self.use_layer_norm:
             self.layer_norms = [
-                nn.LayerNorm(
-                    reduction_axes=-2, feature_axes=-2, name=f"ln_{i}"
-                )
+                LayerNormT(self.embedding_size, name=f"ln_{i}")
                 for i in range(self.num_attn_layers)
             ]
         self.attn_pooling = AttentionPooling(
             embed_dim=self.embedding_size,
             hidden_dim=self.embedding_size,
-            name="attn_pooling",
         )
 
     def __call__(self, inputs, training: bool = False):
@@ -288,6 +389,15 @@ class CINAttentionV2(nn.Module):
             self.split_half,
             training=training,
         )
+        if self.attn_dropout == 0.0 or not training:
+            pooled = _fused_block_apply(
+                result, list(self.mhsa_layers),
+                list(self.layer_norms) if self.use_layer_norm else [],
+                self.attn_pooling, self.num_heads, self.use_residual,
+                self.use_layer_norm, training,
+            )
+            if pooled is not None:
+                return pooled
         for i in range(self.num_attn_layers):
             attn_output = self.mhsa_layers[i](
                 result, training=training, transposed=True

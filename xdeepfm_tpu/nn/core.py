@@ -90,6 +90,42 @@ class DNN(nn.Module):
             h = self.dropout(h, deterministic=not training)
         return h
 
+    @property
+    def supports_transposed(self) -> bool:
+        """True when :meth:`call_t` is valid: no BatchNorm and a purely
+        elementwise activation (Dice/PReLU normalize per feature axis, which
+        the transposed layout would change)."""
+        return (
+            not self.use_bn
+            and isinstance(self.activation, str)
+            and self.activation.lower()
+            in ("relu", "sigmoid", "linear", "tanh", "leakyrelu")
+        )
+
+    def call_t(self, x_t, training: bool = False):
+        """Transposed evaluation over [..., C, N] inputs (features on the
+        second-minor axis, batch/lanes minor) — identical math and params to
+        ``__call__`` on [..., N, C].
+
+        TPU rationale (CLAUDE.md layout playbook): the sequence models run
+        MLPs over [B*T, C~20..64] activations whose batch-major layout pads
+        C to 128 lanes (2-6x HBM bytes on every pass, 128x for the final
+        [.., 1] scores); in [T, C, B] form C sits on sublanes (pads to a
+        multiple of 8) and the batch rides the lane axis unpadded.
+        """
+        assert self.supports_transposed
+        if self.is_initializing():
+            # create params via the canonical path once; shapes agree
+            self(jnp.zeros((1, self.inputs_dim), x_t.dtype), training=False)
+        h = x_t
+        for i, lin in enumerate(self.linears):
+            k = lin.variables["params"]["kernel"]
+            b = lin.variables["params"]["bias"]
+            h = jnp.einsum("...cn,ch->...hn", h, k) + b[:, None]
+            h = apply_activation(self.acts[i], h, training=training)
+            h = self.dropout(h, deterministic=not training)
+        return h
+
 
 class PredictionLayer(nn.Module):
     """Adds a scalar bias; sigmoid iff task == 'binary'
@@ -152,6 +188,29 @@ class LocalActivationUnit(nn.Module):
         )
         att_out = self.dnn(att_input, training=training)
         return self.dense(att_out)  # [B, T, 1]
+
+    @property
+    def supports_transposed(self) -> bool:
+        return self.dnn.supports_transposed
+
+    def call_t(self, query_t, behavior_t, training: bool = False):
+        """Transposed lane-space scoring: query_t [E, B], behavior_t
+        [T, E, B] -> scores [T, 1, B].  Same params/math as ``__call__``;
+        the [q, k, q-k, q*k] concat lands on the sublane axis so none of the
+        MLP activations pad their ~40-64 features to 128 lanes."""
+        T = behavior_t.shape[0]
+        q = jnp.broadcast_to(query_t[None], behavior_t.shape)
+        att_input = jnp.concatenate(
+            [q, behavior_t, q - behavior_t, q * behavior_t], axis=1
+        )  # [T, 4E, B]
+        att_out = self.dnn.call_t(att_input, training=training)
+        if self.is_initializing():
+            self.dense(jnp.zeros((1, self.hidden_units[-1]), att_out.dtype))
+        k = self.dense.variables["params"]["kernel"]   # [hu, 1]
+        b = self.dense.variables["params"]["bias"]     # [1]
+        return (
+            jnp.einsum("thb,ho->tob", att_out, k) + b[:, None]
+        )  # [T, 1, B]
 
 
 class Conv2dSame(nn.Module):

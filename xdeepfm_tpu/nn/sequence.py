@@ -118,6 +118,25 @@ class AttentionSequencePoolingLayer(nn.Module):
             outputs = jnp.matmul(outputs, keys)  # [B, 1, E]
         return outputs
 
+    def scores_t(self, query_t, keys_t, lengths, training: bool = False):
+        """Transposed lane-space scoring: query_t [E, B], keys_t [T, E, B] ->
+        masked (softmax-normalized when ``weight_normalization``) scores
+        [T, 1, B].  Same params/semantics as ``__call__`` with
+        ``return_score``; DIEN's fast path."""
+        T = keys_t.shape[0]
+        valid = (
+            jnp.arange(T)[:, None] < lengths.reshape(-1)[None, :]
+        )[:, None, :]  # [T, 1, B]
+        scores = self.local_att.call_t(query_t, keys_t, training=training)
+        if self.weight_normalization:
+            pad = jnp.full_like(scores, -(2.0**32) + 1)
+        else:
+            pad = jnp.zeros_like(scores)
+        scores = jnp.where(valid, scores, pad)
+        if self.weight_normalization:
+            scores = nn.softmax(scores, axis=0)
+        return scores
+
 
 from functools import partial as _partial
 
@@ -251,9 +270,51 @@ class GRU(nn.Module):
         self.bias_ih = self.param("bias_ih", b_init, (3 * H,))
         self.bias_hh = self.param("bias_hh", b_init, (3 * H,))
 
+    def _run_t(self, gi, valid, h):
+        """Core recurrence on hoisted gates gi [T, 3H, B]: returns FROZEN
+        outs_t [T, H, B] (state held past each row's length, so outs_t[-1]
+        is every row's last valid state; zero rows stay zero)."""
+        T = gi.shape[0]
+        B = gi.shape[2]
+        H = self.hidden_size
+        w_hh, b_hh = self.weight_hh, self.bias_hh
+
+        from ..ops import gru_pallas
+
+        if (
+            gru_pallas.use_pallas()
+            and gru_pallas.fits_vmem(T, H, B)
+            and not self.is_initializing()
+        ):
+            # whole recurrence in one Pallas program per batch tile (the
+            # lax.scan path is per-step-overhead bound; ops/gru_pallas.py)
+            return gru_pallas.gru_scan(
+                "gru",
+                gi.reshape(T, 3, H, B),
+                w_hh.reshape(3, H, H),
+                b_hh.reshape(3, H, 1),
+                jnp.zeros((T, 1, B), gi.dtype),
+                valid,
+                h,
+            )
+
+        def body(h, xs):
+            gi_t, v = xs  # [3H, B], [1, B]
+            gh = w_hh @ h + b_hh[:, None]
+            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=0)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=0)
+            r = nn.sigmoid(i_r + h_r)
+            z = nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            h_new = (1.0 - z) * n + z * h
+            h_out = v * h_new + (1 - v) * h  # freeze past length
+            return h_out, h_out
+
+        _, outs = jax.lax.scan(body, h, (gi, valid), unroll=_SCAN_UNROLL)
+        return outs
+
     def __call__(self, inputs, lengths, h0=None):
         B, T, _ = inputs.shape
-        H = self.hidden_size
         h = (
             jnp.zeros((self.hidden_size, B), dtype=inputs.dtype)
             if h0 is None
@@ -266,50 +327,30 @@ class GRU(nn.Module):
             + self.bias_ih[None, :, None]
         )
         valid = _valid_t(lengths, T, inputs.dtype)
-        w_hh, b_hh = self.weight_hh, self.bias_hh
+        outs_t = self._run_t(gi, valid, h)
+        # frozen state => the last slice IS each row's final hidden state
+        h_last = jnp.swapaxes(outs_t[-1], 0, 1)
+        outputs = jnp.transpose(outs_t * valid, (2, 0, 1))
+        return outputs, h_last
 
-        from ..ops import gru_pallas
-
-        if (
-            gru_pallas.use_pallas()
-            and gru_pallas.fits_vmem(T, H, B)
-            and not self.is_initializing()
-        ):
-            # whole recurrence in one Pallas program per batch tile (the
-            # lax.scan path is per-step-overhead bound; ops/gru_pallas.py)
-            outs_t = gru_pallas.gru_scan(
-                "gru",
-                gi.reshape(T, 3, H, B),
-                w_hh.reshape(3, H, H),
-                b_hh.reshape(3, H, 1),
-                jnp.zeros((T, 1, B), inputs.dtype),
-                valid,
-                h,
-            )  # [T, H, B], hidden frozen past each row's length
-            idx = jnp.clip(lengths.reshape(-1).astype(jnp.int32) - 1, 0)
-            h_last = jnp.take_along_axis(
-                jnp.transpose(outs_t, (2, 0, 1)), idx[:, None, None], axis=1
-            )[:, 0, :]
-            outputs = jnp.transpose(outs_t * valid, (2, 0, 1))
-            return outputs, h_last
-
-        def body(h, xs):
-            gi_t, v = xs  # [3H, B], [1, B]
-            gh = w_hh @ h + b_hh[:, None]
-            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=0)
-            h_r, h_z, h_n = jnp.split(gh, 3, axis=0)
-            r = nn.sigmoid(i_r + h_r)
-            z = nn.sigmoid(i_z + h_z)
-            n = jnp.tanh(i_n + r * h_n)
-            h_new = (1.0 - z) * n + z * h
-            h_out = v * h_new + (1 - v) * h
-            out_t = v * h_out  # zero outputs at padded positions
-            return h_out, out_t
-
-        h_last, outs = jax.lax.scan(
-            body, h, (gi, valid), unroll=_SCAN_UNROLL
+    def call_t(self, inputs_t, lengths, h0=None):
+        """Fully-transposed entry: inputs_t [T, I, B] -> (frozen outs_t
+        [T, H, B], h_last [H, B]).  No batch-major [B, T, H] tensor (whose
+        H<=16 lane padding costs 13-26x HBM bytes at B=4096) is ever built —
+        the lane-space path DIEN runs end-to-end."""
+        T, _, B = inputs_t.shape
+        h = (
+            jnp.zeros((self.hidden_size, B), dtype=inputs_t.dtype)
+            if h0 is None
+            else h0
         )
-        return jnp.transpose(outs, (2, 0, 1)), jnp.swapaxes(h_last, 0, 1)
+        gi = (
+            jnp.einsum("tib,gi->tgb", inputs_t, self.weight_ih)
+            + self.bias_ih[None, :, None]
+        )
+        valid = _valid_t(lengths, T, inputs_t.dtype)
+        outs_t = self._run_t(gi, valid, h)
+        return outs_t, outs_t[-1]
 
 
 class _AttGRUCellBase(nn.Module):
@@ -419,16 +460,11 @@ class DynamicGRU(nn.Module):
         else:
             raise NotImplementedError(self.gru_type)
 
-    def __call__(self, inputs, att_scores, lengths, hx=None):
-        B, T, _ = inputs.shape
-        h = (
-            jnp.zeros((self.hidden_size, B), dtype=inputs.dtype)
-            if hx is None
-            else jnp.swapaxes(hx, 0, 1)
-        )
-        gi = self.rnn.project_t(inputs)  # [T, 3H, B]
-        att = jnp.swapaxes(att_scores, 0, 1)[:, None, :]  # [T, 1, B]
-        valid = _valid_t(lengths, T, inputs.dtype)
+    def _run_t(self, gi, att, valid, h):
+        """Core recurrence on hoisted gates gi [T, 3H, B] + attention
+        [T, 1, B]: FROZEN outs_t [T, H, B]."""
+        T = gi.shape[0]
+        B = gi.shape[2]
 
         from ..ops import gru_pallas
 
@@ -441,9 +477,9 @@ class DynamicGRU(nn.Module):
             b_hh = (
                 self.rnn.bias_hh.reshape(3, H, 1)
                 if self.use_bias
-                else jnp.zeros((3, H, 1), inputs.dtype)
+                else jnp.zeros((3, H, 1), gi.dtype)
             )
-            outs_t = gru_pallas.gru_scan(
+            return gru_pallas.gru_scan(
                 self.gru_type.lower(),
                 gi.reshape(T, 3, H, B),
                 self.rnn.weight_hh.reshape(3, H, H),
@@ -452,7 +488,6 @@ class DynamicGRU(nn.Module):
                 valid,
                 h,
             )
-            return jnp.transpose(outs_t, (2, 0, 1))  # [B, T, H]
 
         scan_cell = nn.scan(
             _scan_body_t,
@@ -461,7 +496,36 @@ class DynamicGRU(nn.Module):
             unroll=_SCAN_UNROLL,
         )
         _, outs = scan_cell(self.rnn, h, (gi, att, valid))
+        return outs
+
+    def __call__(self, inputs, att_scores, lengths, hx=None):
+        B, T, _ = inputs.shape
+        h = (
+            jnp.zeros((self.hidden_size, B), dtype=inputs.dtype)
+            if hx is None
+            else jnp.swapaxes(hx, 0, 1)
+        )
+        gi = self.rnn.project_t(inputs)  # [T, 3H, B]
+        att = jnp.swapaxes(att_scores, 0, 1)[:, None, :]  # [T, 1, B]
+        valid = _valid_t(lengths, T, inputs.dtype)
+        outs = self._run_t(gi, att, valid, h)
         return jnp.transpose(outs, (2, 0, 1))  # [B, T, H]
+
+    def call_t(self, inputs_t, att_t, lengths, hx=None):
+        """Fully-transposed entry: inputs_t [T, I, B], att_t [T, 1, B] ->
+        frozen states [T, H, B] (DIEN's lane-space path; outs_t[-1] is each
+        row's last valid state)."""
+        T, _, B = inputs_t.shape
+        h = (
+            jnp.zeros((self.hidden_size, B), dtype=inputs_t.dtype)
+            if hx is None
+            else hx
+        )
+        gi = jnp.einsum("tib,gi->tgb", inputs_t, self.rnn.weight_ih)
+        if self.use_bias:
+            gi = gi + self.rnn.bias_ih[None, :, None]
+        valid = _valid_t(lengths, T, inputs_t.dtype)
+        return self._run_t(gi, att_t, valid, h)
 
 
 def _scan_body_t(cell, h, xs):
