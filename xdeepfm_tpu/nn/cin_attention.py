@@ -389,10 +389,18 @@ class CINAttentionV2(nn.Module):
             self.split_half,
             training=training,
         )
-        if self.attn_dropout == 0.0 or not training:
+        # V2 stays on the round-2 unfused path: a stacked-L fused kernel
+        # measured 40.1 ms and a mixed last-layer-fused graph 52.2 ms vs
+        # 37.3 unfused at bench shapes (the fused block wins only for the
+        # single-layer V1 shape; see attn_block_pallas docstring).  The
+        # single-layer case still routes through the fused block when the
+        # model is configured with num_attn_layers == 1.
+        if self.num_attn_layers == 1 and (
+            self.attn_dropout == 0.0 or not training
+        ):
             pooled = _fused_block_apply(
-                result, list(self.mhsa_layers),
-                list(self.layer_norms) if self.use_layer_norm else [],
+                result, [self.mhsa_layers[0]],
+                [self.layer_norms[0]] if self.use_layer_norm else [],
                 self.attn_pooling, self.num_heads, self.use_residual,
                 self.use_layer_norm, training,
             )

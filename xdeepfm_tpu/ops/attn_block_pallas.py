@@ -9,26 +9,34 @@ This kernel fuses the ENTIRE post-CIN block
     x -> [ MHSA(Wq,Wk,Wv,Wo) -> +residual -> LayerNorm ] * L -> tanh-MLP
     attention pooling -> pooled [B, E]
 
-into one Pallas program per batch tile: x is read from HBM once, every
-intermediate ([dh, S] heads, [S, S] scores, [E, S] layer outputs) lives in
-VMEM/registers, and the only forward outputs are pooled [B, E] plus the
-per-head softmax stats (max, inverse normalizer — the flash residuals) and,
-for stacked layers, the inter-layer activations the backward needs.
+into one Pallas program per batch tile: x is read from HBM once and every
+glue intermediate lives in VMEM.
 
-The custom VJP recomputes each layer's attention from the saved stats
-(flash-delta style, same math as ops/attention_pallas._bwd_kernel) and walks
-the chain in reverse — pooling -> LN -> residual -> W_o -> attention ->
-q/k/v projections — inside the same kernel.  Parameter gradients accumulate
-across the sequential TPU grid into revisited output blocks.
+LANE-BATCHED INTERIOR (v2 design): a first cut ran every projection/LN/pool
+op per batch row; its ~11 tiny E=10-contraction MXU dots per row made the
+fused forward SLOWER than the unfused path (11.9 vs 8.4 ms measured, each
+small dot paying fixed MXU issue cost).  Here the tile's rows are
+concatenated along the LANE axis into scratches (``xb [E, Bc*S]``), so
+projections, W_o, LayerNorm and the pooling MLP run as per-CHUNK dots over
+[*, CH_ROWS*S] slices (16 rows per dot), and only the [S, S] attention cores
+— where the FLOPs are — remain per-(row, head), software-pipelined exactly
+like attention_pallas (pair p+1's score dot issues before pair p's softmax).
 
-Weight layout: per-(layer, head) projection slices are pre-split on the host
-(wq/wk/wv [L*H, E, dh], wo [L*H, dh, E]) so the kernel never slices the
-packed [E, E] matrices at un-aligned sublane offsets.  LN/pooling vectors
-arrive as [.., E, 1] columns (E on sublanes, matching the [E, S] operands).
+The custom VJP saves per-head attention outputs (``osave``, lane layout),
+the softmax stats (max + inverse normalizer) and inter-layer activations;
+the backward recomputes scores flash-style and walks pool -> LN -> W_o ->
+attention -> projections in reverse with the same chunk/pair split.
+Parameter grads accumulate across the sequential TPU grid into revisited
+output blocks; the VECTOR grads (dgamma/dbeta/db1/dw2) accumulate as
+[E, CH_ROWS*S] mats reduced outside the kernel — Mosaic folds any add of a
+lane-reduction (including N=1 dots it canonicalizes into reductions) into
+the reduction's init accumulator, which must be constant ("only constant
+accumulators supported").
 
 Mosaic rules honored (CLAUDE.md playbook): no implicit rank-3 broadcasts,
-no transcendentals on [S, 1] columns, lane-axis reductions stay on the VPU,
-fp32 everywhere (preferred_element_type).
+no transcendentals on [S, 1] columns, lane-axis reductions stay on the VPU
+and never feed accumulators, fp32 everywhere (preferred_element_type), all
+lane slices at multiples of S (multiples of 128 at bench shapes).
 """
 
 from __future__ import annotations
@@ -65,198 +73,366 @@ def _dot(a, b, dims):
     )
 
 
-def _layer_fwd(cfg, xl, l, wq_ref, wk_ref, wv_ref, wo_ref, gam_ref, bet_ref,
-               stats_out=None, saved_stats=None):
-    """One MHSA+residual+LN layer on a single row's [E, S] activation.
+def _tile_sizes(B, S):
+    """(Bc rows per grid program, CH_ROWS rows per chunked glue op).
 
-    Returns (y, per-head (e, inv_z, o) list, r) — everything the backward
-    needs.  ``stats_out``: callable(lh, m, inv_z) to persist stats (forward
-    kernel); ``saved_stats``: callable(lh) -> (m_col, z_row) to reuse them
-    (backward recompute — skips the max/sum reduction trees).
-    """
+    Bc: largest divisor of B <= 32 — the unrolled program body scales with
+    Bc*H attention pairs (a 128-row tile's ~250 KB MLIR got the remote
+    compile helper OOM-killed); CH_ROWS <= 8 so several glue chunks
+    interleave into each tile's pair stream (program-order MXU/VPU
+    overlap)."""
+    # ch == bc -> one chunk per tile: the glue runs after the tile's pair
+    # stream.  Finer chunks interleaved INTO the stream measured WORSE
+    # (Bc32/ch8: fwd 10.7 vs 8.0; the chunk_stage writes to the running
+    # activation scratch serialize against the pair dots), as did larger
+    # tiles — Bc16 serialized is the measured optimum (fwd 7.97 ms,
+    # fwd+bwd 15.22 vs the unfused path's 8.44/15.36 at bench shapes).
+    bc = min(16, B)
+    while B % bc:
+        bc -= 1
+    ch = min(16, bc)
+    while bc % ch:
+        ch -= 1
+    return bc, ch
+
+
+def _seg_matrix(ch_rows, S):
+    """[ch_rows*S, ch_rows] 0/1 matrix: lane i -> its row segment i // S.
+    Turns the per-row weighted pooling sum into ONE MXU dot per chunk."""
+    n = ch_rows * S
+    seg = jax.lax.broadcasted_iota(jnp.int32, (n, ch_rows), 0) // S
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, ch_rows), 1)
+    return (seg == col).astype(jnp.float32)
+
+
+def _ln_fwd(cfg, l, r, gam_ref, bet_ref):
+    """LayerNorm over E (sublanes) of an [E, chw] chunk; returns (y, rh,
+    rstd).  Fast variance, matching nn.LayerNorm / LayerNormT."""
+    E, chw = r.shape
+    mu = jnp.mean(r, axis=0, keepdims=True)
+    var = jnp.mean(r * r, axis=0, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + cfg.eps)
+    rh = (r - mu) * jnp.broadcast_to(rstd, (E, chw))
+    gam = jnp.broadcast_to(gam_ref[l], (E, chw))
+    bet = jnp.broadcast_to(bet_ref[l], (E, chw))
+    return gam * rh + bet, rh, rstd
+
+
+def _glue_chunk_fwd(cfg, l, xc, osave_ref, wo_ref, gam_ref, bet_ref, sl):
+    """W_o projection + residual + LN for one [E, chw] chunk (no pair dots:
+    per-head o comes from the osave lane-layout block)."""
     H = cfg.heads
-    attn = None
-    head_res = []
+    r = None
     for h in range(H):
-        lh = l * H + h
-        q = _dot(wq_ref[lh], xl, ((0,), (0,)))          # [dh, S]
-        k = _dot(wk_ref[lh], xl, ((0,), (0,)))
-        v = _dot(wv_ref[lh], xl, ((0,), (0,)))
-        s = _dot(q, k, ((0,), (0,)))                    # [S, S]
-        if saved_stats is None:
-            m = jnp.max(s, axis=-1, keepdims=True)      # [S, 1]
-            e = jnp.exp((s - m) * cfg.scale)
-            inv_z = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-            z_row = inv_z.reshape(1, -1)
-            if stats_out is not None:
-                stats_out(lh, m, inv_z)
-        else:
-            m_col, z_row = saved_stats(lh)
-            e = jnp.exp((s - m_col) * cfg.scale)
-            inv_z = z_row.reshape(-1, 1)
-        o = _dot(v, e, ((1,), (1,))) * z_row            # [dh, S]
-        head_res.append((q, k, v, e, inv_z, o))
-        ao = _dot(wo_ref[lh], o, ((0,), (0,)))          # [E, S]
-        attn = ao if attn is None else attn + ao
-    r = attn + xl if cfg.use_residual else attn
+        ao = _dot(wo_ref[l * H + h], osave_ref[l * H + h, :, sl],
+                  ((0,), (0,)))                                   # [E, chw]
+        r = ao if r is None else r + ao
+    if cfg.use_residual:
+        r = r + xc
     if cfg.use_layer_norm:
-        E, S = r.shape
-        mu = jnp.mean(r, axis=0, keepdims=True)         # [1, S]
-        var = jnp.mean(r * r, axis=0, keepdims=True) - mu * mu
-        rstd = jax.lax.rsqrt(var + cfg.eps)
-        rh = (r - mu) * rstd                            # [E, S]
-        gam = jnp.broadcast_to(gam_ref[l], (E, S))
-        bet = jnp.broadcast_to(bet_ref[l], (E, S))
-        y = gam * rh + bet
-        ln_res = (rh, rstd)
-    else:
-        y = r
-        ln_res = None
-    return y, head_res, ln_res
+        y, rh, rstd = _ln_fwd(cfg, l, r, gam_ref, bet_ref)
+        return y, rh, rstd
+    return r, None, None
 
 
-def _pool_fwd(xl, w1_ref, b1_ref, w2_ref):
-    """tanh-MLP attention pooling on [E, S] -> ([1, E], pieces)."""
-    E, S = xl.shape
-    b1 = jnp.broadcast_to(b1_ref[...], (E, S))
-    h1 = jnp.tanh(_dot(w1_ref[...], xl, ((0,), (0,))) + b1)   # [E, S]
-    sc = _dot(w2_ref[...], h1, ((0,), (0,)))                  # [1, S]
-    mx = jnp.max(sc, axis=-1, keepdims=True)
-    ew = jnp.exp(sc - mx)
-    w = ew / jnp.sum(ew, axis=-1, keepdims=True)              # [1, S]
-    pooled = _dot(w, xl, ((1,), (1,)))                        # [1, E]
-    return pooled, (h1, w)
+def _attn_pairs_fwd(cfg, l, qb, kb, vb, osave_ref, m_ref, z_ref, Bc, S,
+                    ch_rows, chunk_stage):
+    """Pipelined per-(row, head) attention cores for one layer: the next
+    pair's [S, S] score dot issues before the current pair's softmax so MXU
+    and VPU overlap (Mosaic executes in program order).  ``chunk_stage(c)``
+    (glue/pool work for chunk c) is emitted one pair into chunk c+1 — as
+    soon as chunk c's pairs have all finished — so its VPU passes hide under
+    the next chunk's score dots instead of serializing at the tile end."""
+    H = cfg.heads
+    ppc = ch_rows * H  # pairs per chunk
+
+    def finish(b, h, s):
+        lh = l * H + h
+        m = jnp.max(s, axis=-1, keepdims=True)                    # [S, 1]
+        e = jnp.exp((s - m) * cfg.scale)
+        inv_z = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        z_row = inv_z.reshape(1, -1)
+        o = _dot(vb[h, :, b * S : (b + 1) * S], e, ((1,), (1,))) * z_row
+        osave_ref[lh, :, b * S : (b + 1) * S] = o
+        m_ref[b, lh : lh + 1, :] = m.reshape(1, -1)
+        z_ref[b, lh : lh + 1, :] = inv_z.reshape(1, -1)
+
+    prev = None
+    idx = 0
+    for b in range(Bc):
+        for h in range(H):
+            q = qb[h, :, b * S : (b + 1) * S]
+            k = kb[h, :, b * S : (b + 1) * S]
+            s = _dot(q, k, ((0,), (0,)))                          # [S, S]
+            if prev is not None:
+                finish(*prev)
+            prev = (b, h, s)
+            c, within = divmod(idx, ppc)
+            # chunk c-1's pairs are all finished once chunk c's second pair
+            # issues (first pair when ppc == 1: finish(prev) above flushed it)
+            if within == (1 if ppc > 1 else 0) and c >= 1:
+                chunk_stage(c - 1)
+            idx += 1
+    finish(*prev)
+    chunk_stage(Bc // ch_rows - 1)
 
 
 def _fwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, gam_ref, bet_ref,
                 w1_ref, b1_ref, w2_ref,
-                pooled_ref, m_ref, z_ref, ysave_ref, *, cfg, Bb):
-    L = cfg.layers
-    for b in range(Bb):
-        xl = x_ref[b]
+                pooled_ref, m_ref, z_ref, ysave_ref, osave_ref,
+                xb, qb, kb, vb, wrow, *, cfg, Bc, ch_rows):
+    L, H = cfg.layers, cfg.heads
+    E = x_ref.shape[1]
+    S = x_ref.shape[2]
+    chw = ch_rows * S
+    n_chunks = Bc // ch_rows
 
-        def stats_out(lh, m, inv_z, b=b):
-            m_ref[b, lh : lh + 1, :] = m.reshape(1, -1)
-            z_ref[b, lh : lh + 1, :] = inv_z.reshape(1, -1)
+    # tile rows -> lane-concatenated scratch (VMEM-to-VMEM; no HBM cost)
+    for b in range(Bc):
+        xb[:, b * S : (b + 1) * S] = x_ref[b]
 
-        for l in range(L):
-            y, _, _ = _layer_fwd(
-                cfg, xl, l, wq_ref, wk_ref, wv_ref, wo_ref, gam_ref,
-                bet_ref, stats_out=stats_out,
+    segm = _seg_matrix(ch_rows, S)
+    b1 = jnp.broadcast_to(b1_ref[...], (E, chw))
+
+    def pool_chunk(c):
+        # per-chunk MLP dots, per-row lane-segment softmax (VPU only), one
+        # segment-sum dot
+        sl = slice(c * chw, (c + 1) * chw)
+        yc = xb[:, sl]
+        h1 = jnp.tanh(_dot(w1_ref[...], yc, ((0,), (0,))) + b1)   # [E, chw]
+        sc = _dot(w2_ref[...], h1, ((0,), (0,)))                  # [1, chw]
+        for r in range(ch_rows):
+            rs = slice(r * S, (r + 1) * S)
+            row = sc[:, rs]                                       # [1, S]
+            mx = jnp.max(row, axis=-1, keepdims=True)
+            ew = jnp.exp(row - mx)
+            wrow[:, rs] = ew / jnp.sum(ew, axis=-1, keepdims=True)
+        wy = yc * jnp.broadcast_to(wrow[...], (E, chw))
+        pooled_ref[0, :, c * ch_rows : (c + 1) * ch_rows] = _dot(
+            wy, segm, ((1,), (0,))
+        )                                                         # [E, rows]
+
+    for l in range(L):
+        for c in range(n_chunks):
+            sl = slice(c * chw, (c + 1) * chw)
+            xc = xb[:, sl]
+            for h in range(H):
+                lh = l * H + h
+                qb[h, :, sl] = _dot(wq_ref[lh], xc, ((0,), (0,)))
+                kb[h, :, sl] = _dot(wk_ref[lh], xc, ((0,), (0,)))
+                vb[h, :, sl] = _dot(wv_ref[lh], xc, ((0,), (0,)))
+
+        def chunk_stage(c, l=l):
+            sl = slice(c * chw, (c + 1) * chw)
+            y, _, _ = _glue_chunk_fwd(
+                cfg, l, xb[:, sl], osave_ref, wo_ref, gam_ref, bet_ref, sl
             )
             if l < L - 1:
-                ysave_ref[b, l] = y
-            xl = y
-        pooled, _ = _pool_fwd(xl, w1_ref, b1_ref, w2_ref)
-        pooled_ref[b] = pooled  # [1, E] row of the [Bb, 1, E] block
+                ysave_ref[l, :, sl] = y
+            xb[:, sl] = y  # running activation
+            if l == L - 1:
+                pool_chunk(c)
+
+        _attn_pairs_fwd(
+            cfg, l, qb, kb, vb, osave_ref, m_ref, z_ref, Bc, S, ch_rows,
+            chunk_stage,
+        )
 
 
 def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, gam_ref, bet_ref,
-                w1_ref, b1_ref, w2_ref, m_ref, z_ref, ysave_ref, g_ref,
+                w1_ref, b1_ref, w2_ref, m_ref, z_ref, ysave_ref, osave_ref,
+                gt_ref,
                 dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dgam_ref,
-                dbet_ref, dw1_ref, db1_ref, dw2_ref, *, cfg, Bb):
+                dbet_ref, dw1_ref, db1_ref, dw2_ref,
+                xb, qb, kb, vb, dqb, dkb, dvb, dya, dyb_, drb, wrow, dscrow,
+                gb, *, cfg, Bc, ch_rows):
     L, H = cfg.layers, cfg.heads
     LH = L * H
     E = x_ref.shape[1]
-    dh = wq_ref.shape[2]
+    S = x_ref.shape[2]
+    chw = ch_rows * S
+    n_chunks = Bc // ch_rows
+    i = pl.program_id(0)
 
-    # per-slice 2D accumulators (python lists; stacked writes at the end)
-    dwq = [jnp.zeros((E, dh), jnp.float32) for _ in range(LH)]
-    dwk = [jnp.zeros((E, dh), jnp.float32) for _ in range(LH)]
-    dwv = [jnp.zeros((E, dh), jnp.float32) for _ in range(LH)]
-    dwo = [jnp.zeros((dh, E), jnp.float32) for _ in range(LH)]
-    S_ = x_ref.shape[2]
+    # mat-accumulated vector grads live in output refs; zero them first
+    @pl.when(i == 0)
+    def _init_vec():
+        dgam_ref[...] = jnp.zeros_like(dgam_ref)
+        dbet_ref[...] = jnp.zeros_like(dbet_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    for b in range(Bc):
+        xb[:, b * S : (b + 1) * S] = x_ref[b]
+
+    def src(l):
+        """The layer's input in lane layout: x for layer 0, else the saved
+        inter-layer activation."""
+        if l == 0:
+            return xb
+        return ysave_ref[l - 1]
+
+    def stats(b, lh):
+        m_col = m_ref[b, lh : lh + 1, :].reshape(-1, 1)           # [S, 1]
+        z_row = z_ref[b, lh : lh + 1, :]                          # [1, S]
+        return m_col, z_row
+
+    # tile-local weight-grad accumulators (dot results add fine)
+    dwq = [jnp.zeros((E, wq_ref.shape[2]), jnp.float32) for _ in range(LH)]
+    dwk = [jnp.zeros((E, wq_ref.shape[2]), jnp.float32) for _ in range(LH)]
+    dwv = [jnp.zeros((E, wq_ref.shape[2]), jnp.float32) for _ in range(LH)]
+    dwo = [jnp.zeros((wq_ref.shape[2], E), jnp.float32) for _ in range(LH)]
     dw1 = jnp.zeros((E, E), jnp.float32)
-    # vector grads (dgamma/dbeta/db1/dw2) accumulate as FULL [E, S] mats and
-    # reduce over S outside the kernel: Mosaic folds an add of any
-    # lane-reduction (jnp.sum OR a dot it canonicalizes to one, e.g. against
-    # a ones row / an N=1 rhs) into the reduction's accumulator, which must
-    # be constant ("only constant accumulators supported")
-    dw2_m = jnp.zeros((E, S_), jnp.float32)
-    dgam_m = [jnp.zeros((E, S_), jnp.float32) for _ in range(L)]
-    dbet_m = [jnp.zeros((E, S_), jnp.float32) for _ in range(L)]
-    db1_m = jnp.zeros((E, S_), jnp.float32)
 
-    for b in range(Bb):
-        def saved_stats_for(b):
-            def get(lh):
-                m_col = m_ref[b, lh : lh + 1, :].reshape(-1, 1)   # [S, 1]
-                z_row = z_ref[b, lh : lh + 1, :]                  # [1, S]
-                return m_col, z_row
-            return get
-
-        xs = [x_ref[b]] + [ysave_ref[b, l] for l in range(L - 1)]
-
-        # recompute the last layer to get the pooled-over activation
-        y_fin, head_fin, ln_fin = _layer_fwd(
-            cfg, xs[L - 1], L - 1, wq_ref, wk_ref, wv_ref, wo_ref,
-            gam_ref, bet_ref, saved_stats=saved_stats_for(b),
+    # ---- pooling backward (recomputing the last layer's output chunks) ----
+    lf = L - 1
+    b1 = jnp.broadcast_to(b1_ref[...], (E, chw))
+    for c in range(n_chunks):
+        sl = slice(c * chw, (c + 1) * chw)
+        yc, _, _ = _glue_chunk_fwd(
+            cfg, lf, src(lf)[:, sl], osave_ref, wo_ref, gam_ref, bet_ref, sl
+        )
+        h1 = jnp.tanh(_dot(w1_ref[...], yc, ((0,), (0,))) + b1)
+        sc = _dot(w2_ref[...], h1, ((0,), (0,)))                  # [1, chw]
+        for r in range(ch_rows):
+            rs = slice(r * S, (r + 1) * S)
+            row = sc[:, rs]
+            mx = jnp.max(row, axis=-1, keepdims=True)
+            ew = jnp.exp(row - mx)
+            wrow[:, rs] = ew / jnp.sum(ew, axis=-1, keepdims=True)
+            g_col = gt_ref[0, :, c * ch_rows + r : c * ch_rows + r + 1]
+            gb[:, rs] = jnp.broadcast_to(g_col, (E, S))
+        # dL/dw[s] = sum_e g[e] y[e, s] — sublane reduction (standalone)
+        dwvec = jnp.sum(yc * gb[...], axis=0, keepdims=True)      # [1, chw]
+        for r in range(ch_rows):
+            rs = slice(r * S, (r + 1) * S)
+            dw_r = dwvec[:, rs]
+            w_r = wrow[:, rs]
+            dscrow[:, rs] = (
+                dw_r - jnp.sum(dw_r * w_r, axis=-1, keepdims=True)
+            ) * w_r
+        dsc = dscrow[...]
+        dh1 = _dot(w2_ref[...], dsc, ((1,), (0,)))                # [E, chw]
+        dw2_ref[...] += h1 * jnp.broadcast_to(dsc, (E, chw))
+        dpre = dh1 * (1.0 - h1 * h1)
+        dw1 += _dot(yc, dpre, ((1,), (1,)))                       # [E, E]
+        db1_ref[...] += dpre
+        dya[:, sl] = gb[...] * jnp.broadcast_to(wrow[...], (E, chw)) + _dot(
+            w1_ref[...], dpre, ((1,), (0,))
         )
 
-        # ---- pooling backward ----
-        g = g_ref[b]                                              # [1, E]
-        pooled, (h1, w) = _pool_fwd(y_fin, w1_ref, b1_ref, w2_ref)
-        dw_row = _dot(g, y_fin, ((1,), (0,)))                     # [1, S]
-        dy = _dot(g, w, ((0,), (0,)))                             # [E, S]
-        dsc = (dw_row - jnp.sum(dw_row * w, axis=-1, keepdims=True)) * w
-        dh1 = _dot(w2_ref[...], dsc, ((1,), (0,)))                # [E, S]
-        dw2_m += h1 * dsc                               # -> sum_S outside
-        dpre = dh1 * (1.0 - h1 * h1)
-        dw1 += _dot(y_fin, dpre, ((1,), (1,)))                    # [E, E]
-        db1_m += dpre                                   # -> sum_S outside
-        dy = dy + _dot(w1_ref[...], dpre, ((1,), (0,)))           # [E, S]
+    # ---- layer chain backward ----
+    dy_s, dx_s = dya, dyb_
+    for l in range(L - 1, -1, -1):
+        xl = src(l)
 
-        # ---- layer chain backward ----
-        for l in range(L - 1, -1, -1):
-            if l == L - 1:
-                head_res, ln_res = head_fin, ln_fin
-            else:
-                _, head_res, ln_res = _layer_fwd(
-                    cfg, xs[l], l, wq_ref, wk_ref, wv_ref, wo_ref,
-                    gam_ref, bet_ref, saved_stats=saved_stats_for(b),
-                )
-            xl = xs[l]
-            S = xl.shape[1]
+        def prep(c, l=l, xl=xl):
+            # projection recompute + LN backward for chunk c (fills drb)
+            sl = slice(c * chw, (c + 1) * chw)
+            xc = xl[:, sl]
+            for h in range(H):
+                lh = l * H + h
+                qb[h, :, sl] = _dot(wq_ref[lh], xc, ((0,), (0,)))
+                kb[h, :, sl] = _dot(wk_ref[lh], xc, ((0,), (0,)))
+                vb[h, :, sl] = _dot(wv_ref[lh], xc, ((0,), (0,)))
+            dyc = dy_s[:, sl]
             if cfg.use_layer_norm:
-                rh, rstd = ln_res
-                dgam_m[l] = dgam_m[l] + dy * rh
-                dbet_m[l] = dbet_m[l] + dy
-                gam = jnp.broadcast_to(gam_ref[l], (E, S))
-                t = gam * dy
-                dr = (
+                # LN backward needs r recomputed (pre-LN, post-residual)
+                r = None
+                for h in range(H):
+                    lh = l * H + h
+                    ao = _dot(wo_ref[lh], osave_ref[lh, :, sl], ((0,), (0,)))
+                    r = ao if r is None else r + ao
+                if cfg.use_residual:
+                    r = r + xc
+                mu = jnp.mean(r, axis=0, keepdims=True)
+                var = jnp.mean(r * r, axis=0, keepdims=True) - mu * mu
+                rstd = jax.lax.rsqrt(var + cfg.eps)
+                rh = (r - mu) * jnp.broadcast_to(rstd, (E, chw))
+                dgam_ref[l] += dyc * rh
+                dbet_ref[l] += dyc
+                t = jnp.broadcast_to(gam_ref[l], (E, chw)) * dyc
+                drc = (
                     t
                     - jnp.mean(t, axis=0, keepdims=True)
                     - rh * jnp.mean(t * rh, axis=0, keepdims=True)
-                ) * jnp.broadcast_to(rstd, (E, S))
+                ) * jnp.broadcast_to(rstd, (E, chw))
             else:
-                dr = dy
-            dx = dr if cfg.use_residual else jnp.zeros_like(dy)
+                drc = dyc
+            drb[:, sl] = drc
+
+        # per-pair flash-delta attention backward, pipelined: pair p+1's
+        # two independent [S, S] dots (s, dp) issue before pair p's VPU work
+        def pair_head(b, h):
+            lh = l * H + h
+            q = qb[h, :, b * S : (b + 1) * S]
+            k = kb[h, :, b * S : (b + 1) * S]
+            s = _dot(q, k, ((0,), (0,)))                          # [S, S]
+            doh = _dot(wo_ref[lh], drb[:, b * S : (b + 1) * S], ((1,), (0,)))
+            dp = _dot(doh, vb[h, :, b * S : (b + 1) * S], ((0,), (0,)))
+            return q, k, s, doh, dp
+
+        def pair_finish(b, h, q, k, s, doh, dp):
+            lh = l * H + h
+            m_col, z_row = stats(b, lh)
+            e = jnp.exp((s - m_col) * cfg.scale)
+            o = osave_ref[lh, :, b * S : (b + 1) * S]
+            gz = doh * z_row
+            dvb[h, :, b * S : (b + 1) * S] = _dot(gz, e, ((1,), (0,)))
+            delta = jnp.sum(doh * o, axis=0, keepdims=True)       # [1, S]
+            inv_z = z_row.reshape(-1, 1)
+            ds = ((dp - delta.reshape(-1, 1)) * (inv_z * cfg.scale)) * e
+            dqb[h, :, b * S : (b + 1) * S] = _dot(k, ds, ((1,), (1,)))
+            dkb[h, :, b * S : (b + 1) * S] = _dot(q, ds, ((1,), (0,)))
+
+        def post(c, l=l, xl=xl, dx_s=dx_s):
+            # dW and dx for chunk c, chunk-batched dots
+            sl = slice(c * chw, (c + 1) * chw)
+            xc = xl[:, sl]
+            drc = drb[:, sl]
+            dxc = drc if cfg.use_residual else jnp.zeros_like(drc)
             for h in range(H):
                 lh = l * H + h
-                q, k, v, e, inv_z, o = head_res[h]
-                doh = _dot(wo_ref[lh], dr, ((1,), (0,)))          # [dh, S]
-                dwo[lh] = dwo[lh] + _dot(o, dr, ((1,), (1,)))     # [dh, E]
-                z_row = inv_z.reshape(1, -1)
-                gz = doh * z_row
-                dv = _dot(gz, e, ((1,), (0,)))                    # [dh, S]
-                delta = jnp.sum(doh * o, axis=0, keepdims=True)   # [1, S]
-                dp = _dot(doh, v, ((0,), (0,)))                   # [S, S]
-                ds = ((dp - delta.reshape(-1, 1)) * (inv_z * cfg.scale)) * e
-                dq = _dot(k, ds, ((1,), (1,)))                    # [dh, S]
-                dk = _dot(q, ds, ((1,), (0,)))                    # [dh, S]
-                dx = dx + _dot(wq_ref[lh], dq, ((1,), (0,)))      # [E, S]
-                dx = dx + _dot(wk_ref[lh], dk, ((1,), (0,)))
-                dx = dx + _dot(wv_ref[lh], dv, ((1,), (0,)))
-                dwq[lh] = dwq[lh] + _dot(xl, dq, ((1,), (1,)))    # [E, dh]
-                dwk[lh] = dwk[lh] + _dot(xl, dk, ((1,), (1,)))
-                dwv[lh] = dwv[lh] + _dot(xl, dv, ((1,), (1,)))
-            dy = dx
-        dx_ref[b] = dy
+                dq_c = dqb[h, :, sl]
+                dk_c = dkb[h, :, sl]
+                dv_c = dvb[h, :, sl]
+                dwq[lh] += _dot(xc, dq_c, ((1,), (1,)))           # [E, dh]
+                dwk[lh] += _dot(xc, dk_c, ((1,), (1,)))
+                dwv[lh] += _dot(xc, dv_c, ((1,), (1,)))
+                dwo[lh] += _dot(osave_ref[lh, :, sl], drc, ((1,), (1,)))
+                dxc = dxc + _dot(wq_ref[lh], dq_c, ((1,), (0,)))
+                dxc = dxc + _dot(wk_ref[lh], dk_c, ((1,), (0,)))
+                dxc = dxc + _dot(wv_ref[lh], dv_c, ((1,), (0,)))
+            dx_s[:, sl] = dxc
 
-    # parameter-gradient accumulation across the (sequential) grid: program 0
-    # initializes the revisited blocks, later programs add their tile's sums
-    i = pl.program_id(0)
+        # interleaved pipelined sweep: chunk c+1's prep and chunk c-1's
+        # post are emitted one pair into chunk c, hiding their VPU/grad
+        # work under the pair stream's score/dp dots
+        prep(0)
+        ppc = ch_rows * H
+        prev = None
+        idx = 0
+        for b in range(Bc):
+            for h in range(H):
+                cur = (b, h) + pair_head(b, h)
+                if prev is not None:
+                    pair_finish(*prev)
+                prev = cur
+                c, within = divmod(idx, ppc)
+                if within == (1 if ppc > 1 else 0):
+                    if c + 1 < n_chunks:
+                        prep(c + 1)
+                    if c >= 1:
+                        post(c - 1)
+                idx += 1
+        pair_finish(*prev)
+        post(n_chunks - 1)
+        dy_s, dx_s = dx_s, dy_s  # rotate: this layer's dx is the next dy
 
+    for b in range(Bc):
+        dx_ref[b] = dy_s[:, b * S : (b + 1) * S]
+
+    # flush tile-local weight grads into the revisited accumulator blocks
     def flush(ref, slices):
         @pl.when(i == 0)
         def _init():
@@ -268,35 +444,18 @@ def _bwd_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, gam_ref, bet_ref,
             for j, v in enumerate(slices):
                 ref[j] += v
 
-    def flush2d(ref, v):
-        @pl.when(i == 0)
-        def _init():
-            ref[...] = v
-
-        @pl.when(i > 0)
-        def _acc():
-            ref[...] += v
-
     flush(dwq_ref, dwq)
     flush(dwk_ref, dwk)
     flush(dwv_ref, dwv)
     flush(dwo_ref, dwo)
-    flush(dgam_ref, dgam_m)
-    flush(dbet_ref, dbet_m)
-    flush2d(dw1_ref, dw1)
-    flush2d(db1_ref, db1_m)
-    flush2d(dw2_ref, dw2_m)
 
+    @pl.when(i == 0)
+    def _initw1():
+        dw1_ref[...] = dw1
 
-def _pick_bb(B, S, bwd=False):
-    """Batch-tile size: keep live [S, S] temporaries within a few MB of VMEM
-    and the unrolled program body a manageable size for Mosaic."""
-    cap = 4 if bwd else 8
-    budget = max(1, (4 * 1024 * 1024) // (S * S * 4))
-    bb = min(cap, budget)
-    while B % bb:
-        bb -= 1
-    return bb
+    @pl.when(i > 0)
+    def _accw1():
+        dw1_ref[...] += dw1
 
 
 def _whole(arr):
@@ -318,65 +477,78 @@ def attn_block(cfg: BlockCfg, x, wq, wk, wv, wo, gamma, beta, w1, b1, w2):
     return out
 
 
+def _specs(B, E, S, L, LH, Bc, dh):
+    n = Bc * S
+    xd = pl.BlockSpec((Bc, E, S), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((Bc, LH, S), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    # pooled/g ride as [tile, E, Bc] so the block's last two dims equal
+    # the overall array dims regardless of Bc (sublane/lane rule)
+    pd = pl.BlockSpec((1, E, Bc), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    od = pl.BlockSpec((LH, dh, n), lambda i: (0, 0, i),
+                      memory_space=pltpu.VMEM)
+    if L > 1:
+        ysh = (L - 1, E, B * S)
+        yd = pl.BlockSpec((L - 1, E, n), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    else:
+        ysh = (1, 1, 1)
+        yd = pl.BlockSpec(ysh, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    return xd, st, pd, od, yd, ysh
+
+
 def _ab_fwd(cfg, x, wq, wk, wv, wo, gamma, beta, w1, b1, w2):
     B, E, S = x.shape
     L, H = cfg.layers, cfg.heads
     LH = L * H
-    Bb = _pick_bb(B, S)
-    xd = pl.BlockSpec((Bb, E, S), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)
-    st = pl.BlockSpec((Bb, LH, S), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)
-    pd = pl.BlockSpec((Bb, 1, E), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)
-    # inter-layer activations for the backward; a 1-element dummy when L == 1
-    # so the never-written slot doesn't cost a [B, E, S] HBM stream
-    ys = (B, L - 1, E, S) if L > 1 else (Bb, 1, 1, 1)
-    yd = pl.BlockSpec((Bb,) + ys[1:] if L > 1 else ys,
-                      (lambda i: (i, 0, 0, 0)) if L > 1
-                      else (lambda i: (0, 0, 0, 0)),
-                      memory_space=pltpu.VMEM)
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, Bb=Bb)
-    pooled, m, z, ysave = pl.pallas_call(
+    dh = wq.shape[2]
+    Bc, ch_rows = _tile_sizes(B, S)
+    n = Bc * S
+    xd, st, pd, od, yd, ysh = _specs(B, E, S, L, LH, Bc, dh)
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, Bc=Bc, ch_rows=ch_rows)
+    pooled_t, m, z, ysave, osave = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, E), jnp.float32),
+            jax.ShapeDtypeStruct((B // Bc, E, Bc), jnp.float32),
             jax.ShapeDtypeStruct((B, LH, S), jnp.float32),
             jax.ShapeDtypeStruct((B, LH, S), jnp.float32),
-            jax.ShapeDtypeStruct(ys, jnp.float32),
+            jax.ShapeDtypeStruct(ysh, jnp.float32),
+            jax.ShapeDtypeStruct((LH, dh, B * S), jnp.float32),
         ),
-        grid=(B // Bb,),
+        grid=(B // Bc,),
         in_specs=[xd] + [_whole(a) for a in
                          (wq, wk, wv, wo, gamma, beta, w1, b1, w2)],
-        out_specs=(pd, st, st, yd),
+        out_specs=(pd, st, st, yd, od),
+        scratch_shapes=[
+            pltpu.VMEM((E, n), jnp.float32),        # xb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # qb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # kb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # vb
+            pltpu.VMEM((1, ch_rows * S), jnp.float32),  # wrow
+        ],
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024
         ),
     )(x, wq, wk, wv, wo, gamma, beta, w1, b1, w2)
-    res = (x, wq, wk, wv, wo, gamma, beta, w1, b1, w2, m, z, ysave)
-    return pooled.reshape(B, E), res
+    res = (x, wq, wk, wv, wo, gamma, beta, w1, b1, w2, m, z, ysave, osave)
+    pooled = jnp.transpose(pooled_t, (0, 2, 1)).reshape(B, E)
+    return pooled, res
 
 
 def _ab_bwd(cfg, res, g):
-    x, wq, wk, wv, wo, gamma, beta, w1, b1, w2, m, z, ysave = res
+    x, wq, wk, wv, wo, gamma, beta, w1, b1, w2, m, z, ysave, osave = res
     B, E, S = x.shape
     L, H = cfg.layers, cfg.heads
     LH = L * H
-    Bb = _pick_bb(B, S, bwd=True)
-    xd = pl.BlockSpec((Bb, E, S), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)
-    st = pl.BlockSpec((Bb, LH, S), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)
-    pd = pl.BlockSpec((Bb, 1, E), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)
-    if L > 1:
-        yd = pl.BlockSpec((Bb, L - 1, E, S), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    else:
-        yd = pl.BlockSpec(ysave.shape, lambda i: (0, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, Bb=Bb)
+    dh = wq.shape[2]
+    Bc, ch_rows = _tile_sizes(B, S)
+    n = Bc * S
+    chw = ch_rows * S
+    xd, st, pd, od, yd, _ = _specs(B, E, S, L, LH, Bc, dh)
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, Bc=Bc, ch_rows=ch_rows)
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -385,41 +557,58 @@ def _ab_bwd(cfg, res, g):
             jax.ShapeDtypeStruct(wk.shape, jnp.float32),
             jax.ShapeDtypeStruct(wv.shape, jnp.float32),
             jax.ShapeDtypeStruct(wo.shape, jnp.float32),
-            jax.ShapeDtypeStruct((L, E, S), jnp.float32),
-            jax.ShapeDtypeStruct((L, E, S), jnp.float32),
+            jax.ShapeDtypeStruct((L, E, chw), jnp.float32),
+            jax.ShapeDtypeStruct((L, E, chw), jnp.float32),
             jax.ShapeDtypeStruct(w1.shape, jnp.float32),
-            jax.ShapeDtypeStruct((E, S), jnp.float32),
-            jax.ShapeDtypeStruct((E, S), jnp.float32),
+            jax.ShapeDtypeStruct((E, chw), jnp.float32),
+            jax.ShapeDtypeStruct((E, chw), jnp.float32),
         ),
-        grid=(B // Bb,),
+        grid=(B // Bc,),
         in_specs=(
             [xd]
             + [_whole(a) for a in
                (wq, wk, wv, wo, gamma, beta, w1, b1, w2)]
-            + [st, st, yd, pd]
+            + [st, st, yd, od, pd]
         ),
         out_specs=(
             xd, _whole(wq), _whole(wk), _whole(wv), _whole(wo),
-            pl.BlockSpec((L, E, S), lambda i: (0, 0, 0),
+            pl.BlockSpec((L, E, chw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, E, S), lambda i: (0, 0, 0),
+            pl.BlockSpec((L, E, chw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             _whole(w1),
-            pl.BlockSpec((E, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, chw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, chw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((E, n), jnp.float32),        # xb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # qb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # kb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # vb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # dqb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # dkb
+            pltpu.VMEM((H, dh, n), jnp.float32),    # dvb
+            pltpu.VMEM((E, n), jnp.float32),        # dya
+            pltpu.VMEM((E, n), jnp.float32),        # dyb_
+            pltpu.VMEM((E, n), jnp.float32),        # drb
+            pltpu.VMEM((1, chw), jnp.float32),      # wrow
+            pltpu.VMEM((1, chw), jnp.float32),      # dscrow
+            pltpu.VMEM((E, chw), jnp.float32),      # gb
+        ],
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024
         ),
-    )(x, wq, wk, wv, wo, gamma, beta, w1, b1, w2, m, z, ysave,
-      g.reshape(B, 1, E))
+    )(x, wq, wk, wv, wo, gamma, beta, w1, b1, w2, m, z, ysave, osave,
+      jnp.transpose(g.reshape(B // Bc, Bc, E), (0, 2, 1)))
     (dx, dwq, dwk, dwv, dwo, dgam_m, dbet_m, dw1, db1_m, dw2_m) = outs
-    # lane-axis reductions of the matrix-form vector grads happen here (XLA),
-    # outside Mosaic's accumulator restriction; outputs match input shapes
-    dgamma = jnp.sum(dgam_m, axis=-1, keepdims=True)          # [L, E, 1]
+    # lane reductions of the matrix-form vector grads happen here (XLA),
+    # outside Mosaic's accumulator restriction
+    dgamma = jnp.sum(dgam_m, axis=-1, keepdims=True)              # [L, E, 1]
     dbeta = jnp.sum(dbet_m, axis=-1, keepdims=True)
-    db1 = jnp.sum(db1_m, axis=-1, keepdims=True)              # [E, 1]
+    db1 = jnp.sum(db1_m, axis=-1, keepdims=True)                  # [E, 1]
     dw2 = jnp.sum(dw2_m, axis=-1, keepdims=True)
     return (dx, dwq, dwk, dwv, dwo, dgamma, dbeta, dw1, db1, dw2)
 
