@@ -168,3 +168,57 @@ def test_kmax_lastaxis_ties_keep_duplicates(rng):
     x = jnp.asarray(np.array([[5.0, 1.0, 5.0, 3.0]], np.float32))
     got = np.asarray(kmax_lastaxis(x, 3))
     np.testing.assert_allclose(got, np.array([[5.0, 5.0, 3.0]], np.float32))
+
+
+def test_onn_column_permutation_matches_3d_permute():
+    """The compact 2-D column-gather pair alignment in ONN equals the naive
+    [B, P, E] axis-1 permutation it replaced (reference pair order,
+    ``deepctr/models/onn.py:122-137``)."""
+    import numpy as np
+
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+    from xdeepfm_tpu.models import ONN
+
+    rng = np.random.default_rng(0)
+    n, F, vocab, E = 64, 5, 12, 4
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(F)}
+    x["I0"] = rng.uniform(0, 1, n).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=E) for i in range(F)] + [
+        DenseFeat("I0", 1)
+    ]
+    m = ONN(cols, cols, dnn_hidden_units=(8,))
+    m.compile("adam", "binary_crossentropy", metrics=[])
+    batch = {k: jnp.asarray(v) for k, v in m.schema.pack(x).items()}
+    mod = m.module
+
+    # recompute second_order both ways from the model's own params
+    import flax
+
+    p = m.params
+    sp = [f for f in cols if isinstance(f, SparseFeat)]
+    pairs = [(i, j) for i in range(F - 1) for j in range(i + 1, F)]
+    P = len(pairs)
+    parts1, parts2 = [], []
+    for k, f in enumerate(sp):
+        ids = np.asarray(x[f.name])
+        if f"second_order_emb1_f{k}" in p:
+            parts1.append(np.asarray(p[f"second_order_emb1_f{k}"])[ids])
+        if f"second_order_emb2_f{k}" in p:
+            parts2.append(np.asarray(p[f"second_order_emb2_f{k}"])[ids])
+    emb1 = np.concatenate(parts1, axis=1).reshape(n, P, E)
+    emb2 = np.concatenate(parts2, axis=1).reshape(n, P, E)
+    second_major = sorted(range(P), key=lambda q: (pairs[q][1], pairs[q][0]))
+    perm = np.empty(P, dtype=np.int32)
+    perm[np.array(second_major)] = np.arange(P)
+    want = (emb1 * emb2[:, perm, :]).reshape(n, -1)
+
+    e1 = jnp.concatenate([jnp.asarray(a) for a in parts1], axis=1)
+    e2 = jnp.concatenate([jnp.asarray(a) for a in parts2], axis=1)
+    cols_idx = (perm[:, None] * E + np.arange(E)[None, :]).reshape(-1)
+    got = np.asarray(e1 * jnp.take(e2, jnp.asarray(cols_idx), axis=1))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # and the model trains end-to-end with the new path
+    y = (rng.uniform(size=n) < 0.4).astype(np.float32)
+    h = m.fit(x, y, batch_size=32, epochs=2, verbose=0)
+    assert np.isfinite(h.history["loss"]).all()

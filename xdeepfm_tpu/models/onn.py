@@ -76,14 +76,20 @@ class ONNModule(nn.Module):
         self.second_order_emb1 = emb1
         self.second_order_emb2 = emb2
         # static permutation aligning the second-major concat order of the
-        # second-side gathers, sorted by (j, i), with first-major pair order
+        # second-side gathers, sorted by (j, i), with first-major pair order.
+        # Applied as a COLUMN gather on the compact [B, P*E] 2-D tensor: the
+        # previous [B, P, E] permute-then-multiply materialized three
+        # E=10-minor tensors whose 128-lane padding cost 12.8x HBM bytes
+        # (~0.7 GB/pass at bench shapes; CLAUDE.md layout playbook).
         second_major = sorted(range(len(pairs)),
                               key=lambda p: (pairs[p][1], pairs[p][0]))
         perm = np.empty(len(pairs), dtype=np.int32)
         perm[np.array(second_major, dtype=np.int32)] = np.arange(
             len(pairs), dtype=np.int32
         )
-        self._second_perm = perm
+        self._second_cols = jnp.asarray(
+            (perm[:, None] * E + np.arange(E)[None, :]).reshape(-1)
+        )
         dense_dim = sum(
             f.dimension for f in self.dnn_cols if isinstance(f, DenseFeat)
         )
@@ -117,10 +123,11 @@ class ONNModule(nn.Module):
                 parts2.append(jnp.take(self.second_order_emb2[k], ids, axis=0))
         P = len(self._pairs)
         if P:
-            emb1 = jnp.concatenate(parts1, axis=1).reshape(B, P, E)
-            emb2 = jnp.concatenate(parts2, axis=1).reshape(B, P, E)
-            emb2 = emb2[:, self._second_perm, :]  # second-major -> pair order
-            second_order = (emb1 * emb2).reshape(B, -1)
+            emb1 = jnp.concatenate(parts1, axis=1)          # [B, P*E]
+            emb2 = jnp.concatenate(parts2, axis=1)          # second-major
+            # second-major -> pair order, lane-compact 2-D column gather
+            emb2 = jnp.take(emb2, self._second_cols, axis=1)
+            second_order = emb1 * emb2
         else:
             second_order = jnp.zeros((B, 0), dtype=jnp.float32)
         parts = [second_order]

@@ -74,8 +74,12 @@ _NEG = -1e30  # pad-column bias: exp underflows to 0, never the row max
 # were measured to defeat MXU/VPU overlap (2026-08-20)
 _DUMMY = -3.0e38
 
-_BT = 512  # batch-tile rows
-_VB = 512  # vocab-block columns
+_BT = 512   # batch-tile rows
+_VB = 1024  # vocab-block columns; round-3 sweep at bench shapes:
+            # vb 512 -> 11.84 ms fwd+bwd, 1024 -> 9.94, 2048 -> 10.26
+            # (bt 256/1024 at vb 1024 both regress; fewer grid steps halve
+            # the per-block online-logsumexp/pipeline overhead until the
+            # [Bt, Vb] block's VMEM footprint starts crowding the scratches)
 
 _STACK_HEADS = False
 
