@@ -131,8 +131,13 @@ def main():
     klen = batch["len_seq_length"]
 
     def recur_method(m, keys, negs, qe):
-        interest, aux = m.interest_extractor(keys, klen, negs, training=True)
-        hist = m.interest_evolution(qe, interest, klen, training=True)
+        # round 3: the DIEN interior runs in transposed [T, H, B] lane space
+        keys_t = jnp.transpose(keys, (1, 2, 0))
+        negs_t = jnp.transpose(negs, (1, 2, 0))
+        interest_t, aux = m.interest_extractor(
+            keys_t, klen, negs_t, training=True
+        )
+        hist = m.interest_evolution(qe, interest_t, klen, training=True)
         return jnp.sum(hist) + aux
 
     def recur_loss(p):
