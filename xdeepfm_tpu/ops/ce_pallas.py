@@ -81,13 +81,16 @@ _VB = 1024  # vocab-block columns; round-3 sweep at bench shapes:
             # the per-block online-logsumexp/pipeline overhead until the
             # [Bt, Vb] block's VMEM footprint starts crowding the scratches)
 
-_STACK_HEADS = False
+_STACK_HEADS = True
 
 
 def set_stack_heads(flag: bool):
-    """Opt into the stacked-heads decoder path (one kernel launch for all
-    same-shape heads).  Kernel-neutral at bench shapes but the per-step
-    stack/pad copies cost ~1 ms in the full train step — see pro/sfg.py."""
+    """Stacked-heads decoder path: one kernel launch for all same-shape
+    heads.  DEFAULT ON since the VB=1024 retune — at VB=512 it was
+    step-negative (the per-step W stack/pad copies outweighed the saved
+    dispatches, 2026-08-20), but with the faster kernel the per-head
+    dispatch/pipeline-drain overhead dominates instead: full Pro step
+    17.13 -> 16.41 ms measured 2026-08-21."""
     global _STACK_HEADS
     _STACK_HEADS = bool(flag)
 
