@@ -627,15 +627,16 @@ def run_eval_v1(args, build_model, model_name="xdeepfm_v1", extra_config=None):
     # fit on train only (xdftrain_v1.py:333-342) — unseen val/test ids map
     # to the SafeLabelEncoder's unknown bucket
     train_dfp, encoders, scaler = prepare_features(
-        train_df, sparse_features, dense_features, fit_df=train_df
+        train_df, sparse_features, dense_features, fit_df=train_df,
+        coerce_dense=coerce_dense,
     )
     val_dfp, _, _ = prepare_features(
         val_df, sparse_features, dense_features, encoders=encoders,
-        scaler=scaler,
+        scaler=scaler, coerce_dense=coerce_dense,
     )
     test_dfp, _, _ = prepare_features(
         test_df, sparse_features, dense_features, encoders=encoders,
-        scaler=scaler,
+        scaler=scaler, coerce_dense=coerce_dense,
     )
 
     # vocab from train only (xdftrain_v1.py:345-346)
@@ -795,7 +796,8 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
         df, pos_ratio = _load_labeled(args.data_path, "Full",
                                   require_label=require_label)
         df, encoders, scaler = prepare_features(
-            df, sparse_features, dense_features, fit_df=df
+            df, sparse_features, dense_features, fit_df=df,
+            coerce_dense=coerce_dense,
         )
         linear_cols, dnn_cols, feature_names = build_feature_columns(
             df, sparse_features, dense_features,

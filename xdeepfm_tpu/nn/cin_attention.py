@@ -211,9 +211,9 @@ def _fused_block_apply(x_t, mhsas, layer_norms, pooling, num_heads,
     """
     from ..ops import attn_block_pallas as abp
 
-    if not abp.use_fused_block():
-        return None
     B, E, S = x_t.shape
+    if not abp.use_fused_block(seq_len=S):
+        return None
     heads = get_valid_num_heads(E, num_heads)
     dh = E // heads
     wq, wk, wv, wo = [], [], [], []

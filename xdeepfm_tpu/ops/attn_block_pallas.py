@@ -76,7 +76,7 @@ def _dot(a, b, dims):
 def _tile_sizes(B, S):
     """(Bc rows per grid program, CH_ROWS rows per chunked glue op).
 
-    Bc: largest divisor of B <= 32 — the unrolled program body scales with
+    Bc: largest divisor of B <= 16 — the unrolled program body scales with
     Bc*H attention pairs (a 128-row tile's ~250 KB MLIR got the remote
     compile helper OOM-killed); CH_ROWS <= 8 so several glue chunks
     interleave into each tile's pair stream (program-order MXU/VPU
@@ -631,8 +631,18 @@ def set_backend(name: str):
     _BACKEND = name
 
 
-def use_fused_block() -> bool:
+def use_fused_block(seq_len: int | None = None) -> bool:
+    """Whether to dispatch the fused block kernel.
+
+    ``seq_len`` (the CIN feature-map count S) gates alignment: the kernel's
+    in-VMEM lane slices land at multiples of S, and Mosaic requires lane
+    offsets aligned to the 128-lane register width — S % 128 != 0 would
+    fail at compile on real TPU (interpret mode does not check).  Callers
+    that know S must pass it; the unfused XLA composition is the fallback.
+    """
     if _BACKEND == "xla":
+        return False
+    if seq_len is not None and seq_len % 128 != 0 and not _INTERPRET:
         return False
     if _BACKEND == "pallas" or _INTERPRET:
         return True
