@@ -283,6 +283,158 @@ def test_a2a_training_step_matches_single_device():
         )
 
 
+def _step_parity_single_vs_mesh(make_model_and_batch, embedding_mode="gspmd"):
+    """Helper: one train step un-sharded == the same step on the 8-device
+    (data, embed) mesh (VERDICT r3 #2 — the hard model families' multi-device
+    paths must actually execute on a mesh, not just the flagship's)."""
+    model1, batch, y = make_model_and_batch()
+    yb = jnp.asarray(y[:, None] if y.ndim == 1 else y)
+    mask = jnp.ones((yb.shape[0],), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in batch.items()}
+    p1, bs1, o1, total1, loss1, _ = model1._train_step(
+        model1.params, model1.batch_stats, model1.opt_state, xb, yb, mask, 0
+    )
+
+    model2, batch2, y2 = make_model_and_batch()
+    mesh = make_mesh(8)
+    try:
+        with mesh:
+            shard_model_state(model2, mesh)
+            if embedding_mode != "gspmd":
+                set_embedding_mode(embedding_mode, mesh)
+            xb2 = shard_batch(batch2, mesh)
+            yb2 = jax.device_put(
+                jnp.asarray(y2[:, None] if y2.ndim == 1 else y2),
+                NamedSharding(mesh, P("data", None)),
+            )
+            mask2 = jax.device_put(
+                jnp.ones((yb2.shape[0],), jnp.float32),
+                NamedSharding(mesh, P("data")),
+            )
+            p2, bs2, o2, total2, loss2, _ = model2._train_step(
+                model2.params, model2.batch_stats, model2.opt_state, xb2, yb2,
+                mask2, 0,
+            )
+    finally:
+        set_embedding_mode("gspmd", None)
+        from xdeepfm_tpu.parallel.mesh import set_active_mesh
+
+        set_active_mesh(None)
+    np.testing.assert_allclose(float(total1), float(total2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def _tiny_attention_model(seed=5):
+    """xDeepFMAttention: on a mesh the fused Pallas block gates OFF
+    (use_fused_block -> False) so this exercises the XLA attention fallback —
+    its designated multi-device path."""
+    from xdeepfm_tpu.models import xDeepFMAttention
+
+    rng = np.random.default_rng(seed)
+    n, vocab = 16, 16
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
+    x.update({f"I{i}": rng.uniform(0, 1, n).astype(np.float32)
+              for i in range(2)})
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=8) for i in range(4)] + [
+        DenseFeat(f"I{i}") for i in range(2)
+    ]
+    model = xDeepFMAttention(
+        cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4, 4),
+        cin_num_heads=2, seed=11,
+    )
+    model.compile("adam", "binary_crossentropy", metrics=[])
+    return model, model.schema.pack(x), y
+
+
+def _tiny_pro_model(seed=6):
+    """xDeepFMPro with sfg_fused_ce=True: the remat'd heads+CE path — the
+    designated multi-device / large-vocab path (pro/sfg.py ce_rows
+    impl='remat').  Dropout off for bitwise step parity."""
+    from xdeepfm_tpu.pro import xDeepFMPro
+
+    rng = np.random.default_rng(seed)
+    n, vocab = 16, 16
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
+    x.update({f"I{i}": rng.uniform(0, 1, n).astype(np.float32)
+              for i in range(2)})
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=8) for i in range(4)] + [
+        DenseFeat(f"I{i}") for i in range(2)
+    ]
+    model = xDeepFMPro(
+        cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4, 4),
+        sfg_hidden_units=(8, 4), sfg_dropout=0.0, sfg_fused_ce=True, seed=11,
+    )
+    model.compile("adam", "binary_crossentropy", metrics=[])
+    return model, model.schema.pack(x), y
+
+
+def _tiny_dien_model(seed=7):
+    """DIEN (AUGRU + negsampling): varlen history keys flow through
+    shard_batch; the recurrence runs the XLA lax.scan path on the mesh."""
+    from xdeepfm_tpu.features import VarLenSparseFeat
+    from xdeepfm_tpu.models import DIEN
+
+    rng = np.random.default_rng(seed)
+    n, vocab, maxlen = 16, 16, 4
+    cols = [
+        SparseFeat("user", vocab, embedding_dim=8),
+        SparseFeat("item", vocab, embedding_dim=8),
+        DenseFeat("score", 1),
+        VarLenSparseFeat(
+            SparseFeat("hist_item", vocab, embedding_dim=8,
+                       embedding_name="item"),
+            maxlen=maxlen, length_name="seq_length",
+        ),
+        VarLenSparseFeat(
+            SparseFeat("neg_hist_item", vocab, embedding_dim=8,
+                       embedding_name="item"),
+            maxlen=maxlen, length_name="seq_length",
+        ),
+    ]
+    lengths = rng.integers(1, maxlen + 1, n)
+    seq_mask = np.arange(maxlen)[None, :] < lengths[:, None]
+    x = {
+        "user": rng.integers(0, vocab, n).astype(np.int64),
+        "item": rng.integers(0, vocab, n).astype(np.int64),
+        "score": rng.uniform(0, 1, n).astype(np.float32),
+        "hist_item": (rng.integers(1, vocab, (n, maxlen)) * seq_mask
+                      ).astype(np.int64),
+        "neg_hist_item": (rng.integers(1, vocab, (n, maxlen)) * seq_mask
+                          ).astype(np.int64),
+        "seq_length": lengths.astype(np.int64),
+    }
+    y = rng.integers(0, 2, n).astype(np.float32)
+    model = DIEN(
+        cols, ["item"], gru_type="AUGRU", use_negsampling=True,
+        dnn_hidden_units=(8,), seed=11,
+    )
+    model.compile("adam", "binary_crossentropy", metrics=[])
+    return model, model.schema.pack(x), y
+
+
+def test_attention_training_step_on_mesh_matches_single_device():
+    _step_parity_single_vs_mesh(_tiny_attention_model)
+
+
+def test_pro_remat_training_step_on_mesh_matches_single_device():
+    _step_parity_single_vs_mesh(_tiny_pro_model)
+
+
+def test_dien_training_step_on_mesh_matches_single_device():
+    _step_parity_single_vs_mesh(_tiny_dien_model)
+
+
+def test_pro_remat_training_step_on_mesh_a2a():
+    """Pro's remat-CE path composed with the all_to_all embedding exchange."""
+    _step_parity_single_vs_mesh(_tiny_pro_model, embedding_mode="all_to_all")
+
+
 def test_a2a_bf16_comm_dtype(mesh, rng):
     """bf16 wire dtype: values within bf16 tolerance, grads still flow."""
     from xdeepfm_tpu.parallel.sharded_embedding import (
