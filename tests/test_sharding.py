@@ -435,6 +435,92 @@ def test_pro_remat_training_step_on_mesh_a2a():
     _step_parity_single_vs_mesh(_tiny_pro_model, embedding_mode="all_to_all")
 
 
+def _tiny_lazy_model_and_batch(seed=3):
+    """Same tiny xDeepFM, compiled with the lazy row-sparse optimizer in
+    gradient-split mode — the pod-capacity composition (SURVEY.md §7 M3)."""
+    rng = np.random.default_rng(seed)
+    n, vocab = 64, 16
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
+    x.update({f"I{i}": rng.uniform(0, 1, n).astype(np.float32)
+              for i in range(2)})
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=8) for i in range(4)] + [
+        DenseFeat(f"I{i}") for i in range(2)
+    ]
+    model = xDeepFM(
+        cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4, 4), seed=11
+    )
+    model.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient="split")
+    return model, model.schema.pack(x), y
+
+
+def _lazy_mesh_parity(embedding_mode="gspmd", steps=2):
+    """Lazy+split training on the mesh (shard-local row updates) == the same
+    steps un-sharded.  Runs >1 step so the per-shard moment states carry."""
+    model1, batch, y = _tiny_lazy_model_and_batch()
+    yb = jnp.asarray(y[:, None])
+    mask = jnp.ones((len(y),), jnp.float32)
+    xb = {k: jnp.asarray(v) for k, v in batch.items()}
+    p1, bs1, o1 = model1.params, model1.batch_stats, model1.opt_state
+    for s in range(steps):
+        p1, bs1, o1, total1, _, _ = model1._train_step(
+            p1, bs1, o1, xb, yb, mask, s
+        )
+
+    model2, batch2, y2 = _tiny_lazy_model_and_batch()
+    mesh = make_mesh(8)
+    try:
+        with mesh:
+            shard_model_state(model2, mesh)
+            if embedding_mode != "gspmd":
+                set_embedding_mode(embedding_mode, mesh)
+            # per-shard moment state is the capacity point: assert the lazy
+            # state actually row-shards with its table
+            for st in model2.opt_state["lazy"].values():
+                assert st.sharding.spec == P("embed", None)
+            xb2 = shard_batch(batch2, mesh)
+            yb2 = jax.device_put(
+                jnp.asarray(y2[:, None]), NamedSharding(mesh, P("data", None))
+            )
+            mask2 = jax.device_put(
+                jnp.ones((len(y2),), jnp.float32),
+                NamedSharding(mesh, P("data")),
+            )
+            p2, bs2, o2 = model2.params, model2.batch_stats, model2.opt_state
+            for s in range(steps):
+                p2, bs2, o2, total2, _, _ = model2._train_step(
+                    p2, bs2, o2, xb2, yb2, mask2, s
+                )
+    finally:
+        set_embedding_mode("gspmd", None)
+        from xdeepfm_tpu.parallel.mesh import set_active_mesh
+
+        set_active_mesh(None)
+    np.testing.assert_allclose(float(total1), float(total2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    # row moment states must agree too (adam m/v per touched row)
+    for path in o1["lazy"]:
+        np.testing.assert_allclose(
+            np.asarray(o1["lazy"][path]), np.asarray(o2["lazy"][path]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_lazy_split_training_on_mesh_matches_single_device():
+    _lazy_mesh_parity()
+
+
+def test_lazy_split_training_on_mesh_a2a_lookup():
+    """Compact-row gathers ride the all_to_all exchange; updates stay
+    shard-local."""
+    _lazy_mesh_parity(embedding_mode="all_to_all")
+
+
 def test_a2a_bf16_comm_dtype(mesh, rng):
     """bf16 wire dtype: values within bf16 tolerance, grads still flow."""
     from xdeepfm_tpu.parallel.sharded_embedding import (

@@ -165,7 +165,15 @@ class BaseModel:
         variables = flax.core.unfreeze(variables)
         self.params = variables.get("params", {})
         self.batch_stats = variables.get("batch_stats", {})
-        self._base_rng = jax.random.PRNGKey(self.seed + 1)
+        # dropout stream: the 'rbg' generator lowers to the TPU hardware RNG
+        # (XLA RngBitGenerator) instead of threefry's ~0.5 ms of per-step
+        # vector hashing at bench shapes (round-4 probe: nodrop saved 0.46 ms
+        # of a 16.9 ms xDeepFMPro step).  Init streams above stay threefry so
+        # seeded initial weights are unchanged.
+        try:
+            self._base_rng = jax.random.key(self.seed + 1, impl="rbg")
+        except Exception:  # older jax without typed-key impls
+            self._base_rng = jax.random.PRNGKey(self.seed + 1)
 
     # ------------------------------------------------------- regularization
 
@@ -379,6 +387,19 @@ class BaseModel:
                     specs[path] = (tuple(entries), l1, l2)
         return specs
 
+    def _sharded_lazy_path(self, table) -> bool:
+        """Whether a lazy table's row update should run shard-locally under
+        shard_map (active mesh with a real embed axis and divisible rows —
+        the same condition ``param_sharding_rule`` row-shards it under)."""
+        from .parallel.mesh import get_active_mesh
+
+        mesh = get_active_mesh()
+        return (
+            mesh is not None
+            and mesh.shape.get("embed", 1) > 1
+            and table.shape[0] % mesh.shape["embed"] == 0
+        )
+
     def _init_opt_state(self):
         if self._lazy_tables:
             from .optimizers import LAZY_OPTIMIZERS
@@ -388,10 +409,20 @@ class BaseModel:
                 _path_str(p): w
                 for p, w in jax.tree_util.tree_flatten_with_path(self.params)[0]
             }
+
+            def make_state(path):
+                state = lazy_init(flat[path])
+                # embed-sharded table -> row states shard with it (same row
+                # axis; per-shard moments are the pod-capacity point of the
+                # lazy x sharded composition)
+                if self._sharded_lazy_path(flat[path]):
+                    state = jax.device_put(state, flat[path].sharding)
+                return state
+
             self.opt_state = {
                 "optax": self.optimizer.init(self.params),
                 "lazy": {
-                    path: lazy_init(flat[path]) for path in self._lazy_tables
+                    path: make_state(path) for path in self._lazy_tables
                 },
             }
             if getattr(self, "_lazy_split", False):
@@ -407,11 +438,16 @@ class BaseModel:
                 # Jitted: an eager reshape/sum on a [65M, 10] table triggers a
                 # layout copy into (8,128)-tiled padding — 33 GB for 2.6 GB of
                 # data — whereas inside XLA the square+reduce fuses in place.
+                # Embed-sharded tables skip the tracker: their shard-local
+                # update path (sharded_lazy_row_update) doesn't surface
+                # before/after row values, so they fall back to the fused
+                # full-table reg value (GSPMD local reduce + psum).
                 sumsq = jax.jit(lambda t: jnp.sum(jnp.square(t)))
                 self.opt_state["reg"] = {
                     path: sumsq(flat[path])
                     for path, (entries, l1, l2) in self._lazy_tables.items()
                     if l2 > 0 and l1 == 0
+                    and not self._sharded_lazy_path(flat[path])
                 }
         else:
             self.opt_state = self.optimizer.init(self.params)
@@ -543,11 +579,16 @@ class BaseModel:
             compact_rows = {}
             if lazy_split:
                 tracked = opt_state.get("reg", {})
+                from .parallel.sharded_embedding import maybe_sharded_take
+
                 for path, (entries, l1, l2) in lazy_specs.items():
                     table = _tree_get(params, path)
                     ids = touched_ids(batch, entries)
                     lazy_ids[path] = ids
-                    compact_rows[path] = jnp.take(table, ids, axis=0)
+                    # routes through the shard_map / all_to_all lookup
+                    # kernels when an embedding mode is set (plain take
+                    # under gspmd — XLA partitions the gather itself)
+                    compact_rows[path] = maybe_sharded_take(table, ids)
                     if path in tracked:
                         # incrementally-tracked sum(w^2) scalar — no table
                         # read at all (updated below from touched rows).
@@ -602,6 +643,28 @@ class BaseModel:
                 new_reg = {}
                 for path, (entries, l1, l2) in lazy_specs.items():
                     lstate = opt_state["lazy"][path]
+                    if lazy_split and self._sharded_lazy_path(
+                        _tree_get(params, path)
+                    ):
+                        # lazy x row-sharded composition (SURVEY.md §7 M3):
+                        # per-occurrence cotangents dedup locally, unique
+                        # rows route to the owning shard over the embed
+                        # axis, and the nonlinear row update (+ row-wise
+                        # reg gradient) runs shard-locally — no full-table
+                        # gradient or cross-shard moment traffic.
+                        from .parallel.mesh import get_active_mesh
+                        from .parallel.sharded_embedding import (
+                            sharded_lazy_row_update,
+                        )
+
+                        p_new, lstate_new = sharded_lazy_row_update(
+                            _tree_get(params, path), lstate, lazy_ids[path],
+                            row_grads[path], step + 1, lazy_row_update,
+                            get_active_mesh(), lr=lazy_lr, l1=l1, l2=l2,
+                        )
+                        new_params = _tree_set(new_params, path, p_new)
+                        new_lazy[path] = lstate_new
+                        continue
                     if lazy_split:
                         # row_grads is the per-occurrence [N, dim] cotangent:
                         # sort by id (one argsort — XLA scatters/sorts on 106k

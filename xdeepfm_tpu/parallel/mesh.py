@@ -92,6 +92,9 @@ def shard_model_state(model, mesh: Mesh):
     model.batch_stats = jax.device_put(
         model.batch_stats, NamedSharding(mesh, P())
     )
-    model._init_opt_state()  # state inherits the sharded param layout
+    # active mesh must be visible to _init_opt_state (the lazy-optimizer row
+    # states shard with their tables, and the incremental reg tracker is
+    # disabled for embed-sharded tables — see BaseModel._init_opt_state)
     set_active_mesh(mesh)
+    model._init_opt_state()  # state inherits the sharded param layout
     return model

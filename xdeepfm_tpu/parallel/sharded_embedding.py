@@ -285,6 +285,116 @@ def sharded_lookup_a2a(table, ids, mesh: Mesh, data_axis="data",
     )(table, ids)
 
 
+# --------------------------------------------------------------------------
+# lazy (row-sparse) optimizer x row-sharded tables (SURVEY.md §7 M3)
+# --------------------------------------------------------------------------
+
+
+def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
+                            mesh: Mesh, lr, l1=0.0, l2=0.0,
+                            data_axis="data", embed_axis="embed"):
+    """Run a lazy row-sparse optimizer update on a row-sharded table.
+
+    ``table``/``state``: [rows, *] sharded P(embed, None); ``ids``: [N] int32
+    per-occurrence touched ids (data-sharded, duplicates allowed);
+    ``g_rows``: [N, D] per-occurrence cotangents from the gradient-split
+    engine.  Composition (the pod-capacity path — >100M-row tables train with
+    per-shard state the dense optimizer cannot hold):
+
+    1. each embed-row of devices all-gathers its data-peers' occurrence
+       block, so every data replica of a shard sees identical inputs (the
+       update must be bitwise identical across data replicas — the table is
+       replicated over ``data``);
+    2. sort + segment-sum the occurrences to unique (id, total-grad) pairs;
+    3. the unique pairs travel to their owning shard over the ``embed`` axis
+       via the same ragged exchange the all_to_all lookup uses — each unique
+       row's gradient crosses the interconnect once;
+    4. the owner merges blocks from its peers (the same id can arrive from
+       several senders: re-sort + run-sum), adds the row-wise L2/L1
+       regularization gradient ONCE per unique row, and applies the
+       nonlinear row update (adam/adagrad) shard-locally.
+
+    No full-table gradient, moment pass, or cross-shard table traffic ever
+    materializes.  Returns (table_new, state_new), same shardings.
+    """
+    E = mesh.shape[embed_axis]
+
+    def local(table_shard, state_shard, ids_loc, g_loc):
+        me = jax.lax.axis_index(embed_axis)
+        S = table_shard.shape[0]
+        # 1. identical inputs across data replicas
+        ids_all = jax.lax.all_gather(ids_loc, data_axis, tiled=True)
+        g_all = jax.lax.all_gather(g_loc, data_axis, tiled=True)
+        n = ids_all.shape[0]
+        D = g_all.shape[1]
+        # 2. dedup my slice of the occurrence stream
+        order = jnp.argsort(ids_all)
+        sids = jnp.take(ids_all, order)
+        g_sorted = jnp.take(g_all, order, axis=0)
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+        )
+        uniq_pos = jnp.cumsum(is_first) - 1
+        n_uniq = uniq_pos[-1] + 1
+        uids = jnp.zeros((n,), sids.dtype).at[uniq_pos].set(sids)
+        g_uniq = jnp.zeros((n, D), g_all.dtype).at[uniq_pos].add(g_sorted)
+        valid = jnp.arange(n) < n_uniq
+        # 3. route unique rows to owners (contiguous per-owner layout since
+        #    uids is sorted and owner = id // S is monotone)
+        owner = jnp.where(valid, uids // S, E)
+        send_sizes = jnp.bincount(owner, length=E + 1)[:E].astype(jnp.int32)
+        in_off = (jnp.cumsum(send_sizes) - send_sizes).astype(jnp.int32)
+        cap = n
+        buf_ids = _exchange_to_blocks(
+            uids, in_off, send_sizes, embed_axis, E, cap
+        )
+        buf_g = _exchange_to_blocks(
+            g_uniq, in_off, send_sizes, embed_axis, E, cap
+        )
+        recv_sizes = _sizes_exchange(send_sizes, embed_axis)
+        block_valid = (
+            jnp.arange(cap)[None, :] < recv_sizes[:, None]
+        ).reshape(-1)
+        # 4. merge peer blocks: local index, padding -> S (drops on write)
+        local_ids = jnp.where(block_valid, buf_ids - me * S, S)
+        buf_g = jnp.where(block_valid[:, None], buf_g, 0.0)
+        order2 = jnp.argsort(local_ids)
+        sl = jnp.take(local_ids, order2)
+        gl = jnp.take(buf_g, order2, axis=0)
+        isf2 = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+        from ..optimizers import segment_run_sums
+
+        g_runs = segment_run_sums(gl, isf2)
+        # row-wise reg gradient, once per unique row (duplicate positions
+        # read the identical pre-update value, so writes stay identical)
+        if l2 > 0 or l1 > 0:
+            p_rows = table_shard.at[sl].get(
+                mode="clip", indices_are_sorted=True
+            )
+            if l2 > 0:
+                g_runs = g_runs + 2.0 * l2 * p_rows
+            if l1 > 0:
+                g_runs = g_runs + l1 * jnp.sign(p_rows)
+        # 5. shard-local nonlinear row update
+        p_new, s_new, _ = row_update(
+            table_shard, state_shard, sl, g_runs, step, lr=lr,
+            sorted_ids=True,
+        )
+        return p_new, s_new
+
+    both = (data_axis, embed_axis)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(embed_axis, None), P(embed_axis, None), P(both),
+                  P(both, None)),
+        out_specs=(P(embed_axis, None), P(embed_axis, None)),
+        # outputs are bitwise identical across data replicas by construction
+        # (step 1); the static replication checker can't see that
+        check_vma=False,
+    )(table, state, ids, g_rows)
+
+
 def maybe_sharded_take(table, ids):
     """Dispatch used by EmbeddingCollection.lookup_ids: plain take under gspmd,
     the shard_map / all_to_all kernels when enabled."""

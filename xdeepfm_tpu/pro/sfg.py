@@ -31,7 +31,11 @@ class LabelAwareAttention(nn.Module):
             "label_embedding", nn.initializers.normal(stddev=1.0),
             (2, self.hidden_dim),
         )
-        label_emb = jnp.take(label_table, labels, axis=0)
+        # one-hot matmul select: a static take's backward is an XLA
+        # scatter-add serialized per row on TPU (~117 ns/row); the [B, 2]
+        # one-hot dot gives the same values with a matmul backward
+        onehot = jax.nn.one_hot(labels, 2, dtype=label_table.dtype)
+        label_emb = onehot @ label_table
         combined = jnp.concatenate([x, label_emb], axis=-1)
         h = nn.Dense(
             self.hidden_dim,
@@ -313,9 +317,11 @@ def sfg_loss_rows(
             jnp.sum(sample_mask) if sample_mask is not None else labels.shape[0]
         )
 
-    total_sparse = jnp.zeros(())
-    for ll in ll_rows.values():
-        total_sparse = total_sparse + jnp.sum(ll * pos_mask) / num_positive
+    # one [F, B] stack + a single masked matvec instead of F separate
+    # mask-multiply-reduce passes (each tiny op pays fixed pass overhead on
+    # TPU; the per-head loop measured ~0.5 ms of the Pro step, round-4 probe)
+    ll_sum = jnp.sum(jnp.stack(list(ll_rows.values()), axis=0), axis=0)
+    total_sparse = jnp.vdot(ll_sum, pos_mask) / num_positive
     total_dense = jnp.zeros(())
     if dense_preds.shape[-1] > 0:
         mse = jnp.mean((dense_preds - dense_targets) ** 2, axis=-1)
