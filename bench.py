@@ -78,6 +78,86 @@ def model_flops_per_step(batch=BATCH, m=N_SPARSE, d=EMB,
     return 3.0 * fwd
 
 
+def pro_flops_per_step(batch=BATCH, m=N_SPARSE, d=EMB, cin=(256, 128),
+                       dnn=(256, 256), n_dense=N_DENSE, hidden=(128, 64),
+                       vocab=VOCAB):
+    """Canonical xDeepFMPro analytic matmul FLOPs (model FLOPs: 3x forward;
+    the flash-CE kernel's backward logit recompute is implementation work,
+    not counted — MFU stays honest to the algorithm)."""
+    base = model_flops_per_step(batch, m, d, cin, dnn, n_dense)
+    in_dim = m * d + n_dense
+    h0 = hidden[0]
+    fwd = 0.0
+    # label-aware attention: [in+h0] -> h0 -> in (sfg.py LabelAwareAttention)
+    fwd += 2.0 * batch * (in_dim + h0) * h0 + 2.0 * batch * h0 * in_dim
+    # shared trunk
+    w = in_dim
+    for h in hidden:
+        fwd += 2.0 * batch * w * h
+        w = h
+    # m vocab-sized softmax heads + the dense regression head
+    fwd += 2.0 * batch * w * (m * vocab) + 2.0 * batch * w * n_dense
+    return base + 3.0 * fwd
+
+
+def attn_flops_per_step(batch=BATCH, m=N_SPARSE, d=EMB, cin=(256, 128),
+                        dnn=(256, 256), n_dense=N_DENSE, heads=2, layers=1,
+                        v2=False):
+    """Canonical xDeepFMAttention[V2] analytic matmul FLOPs (3x forward)."""
+    fwd = 0.0
+    h_prev = m
+    S = 0
+    for i, h in enumerate(cin):
+        fwd += 2.0 * batch * d * (h_prev * m) * h
+        last = i == len(cin) - 1
+        S += h if last else h // 2
+        h_prev = h if last else h // 2
+    dh = max(d // heads, 1)
+    for _ in range(layers):
+        fwd += 4 * 2.0 * batch * S * d * d          # q/k/v/o projections
+        fwd += 2 * 2.0 * batch * heads * S * S * dh  # scores + weighted sum
+    fwd += 2.0 * batch * S * d * d + 2.0 * batch * S * d  # attention pooling
+    if not v2:
+        fwd += 2.0 * batch * d * S                  # output proj d -> S
+        head_in = S
+    else:
+        head_in = d
+    fwd += 2.0 * batch * head_in                    # cin_linear
+    width = m * d + n_dense
+    for h in dnn:
+        fwd += 2.0 * batch * width * h
+        width = h
+    fwd += 2.0 * batch * width
+    return 3.0 * fwd
+
+
+def dien_flops_per_step(batch=BATCH, d=EMB, T=50, n_dense=1,
+                        dnn=(256, 128)):
+    """Canonical-bench DIEN (AUGRU + negsampling) analytic matmul FLOPs.
+    Hidden size == item emb dim d; extractor GRU + evolution AUGRU + aux net
+    (2 passes: pos+neg) + DIN attention MLP + DNN tower.  3x forward."""
+    fwd = 0.0
+    gru = 2.0 * batch * T * 3 * d * (d + d)         # x-proj + recurrent
+    fwd += 2 * gru                                   # extractor + evolution
+    # aux net MLP (100, 50, 1) over [h_t, e_{t+1}] for pos and neg streams
+    w = 2 * d
+    for h in (100, 50, 1):
+        fwd += 2 * 2.0 * batch * T * w * h
+        w = h
+    # DIN attention local-activation unit (80, 40, 1) over 4d input
+    w = 4 * d
+    for h in (80, 40, 1):
+        fwd += 2.0 * batch * T * w * h
+        w = h
+    # DNN tower over [user, item, score, interest]-ish concat (~4d + dense)
+    width = 4 * d + n_dense
+    for h in dnn:
+        fwd += 2.0 * batch * width * h
+        width = h
+    fwd += 2.0 * batch * width
+    return 3.0 * fwd
+
+
 def result_json(step_s, refined):
     examples_per_s = BATCH / step_s
     tflops_per_s = model_flops_per_step() / step_s / 1e12
@@ -185,9 +265,137 @@ def child_main(state_path):
     d1 = run(n1, 12)
     d2 = run(n2, 12 + n1)
     step_s = (d2 - d1) / (n2 - n1)
-    _write_state(state_path, {
-        "stage": "done", "result": result_json(step_s, True),
-    })
+    result = result_json(step_s, True)
+    _write_state(state_path, {"stage": "refined", "result": result})
+
+    # Stage 3: the contested model families (VERDICT r3 #5) — Pro/attention/
+    # DIEN step rows, checkpointed one at a time so a deadline mid-family
+    # still yields the flagship number + whatever finished.  Trim with
+    # BENCH_MODELS (e.g. BENCH_MODELS=pro or BENCH_MODELS= for none).
+    extras = [
+        s for s in os.environ.get("BENCH_MODELS", "pro,attn,dien").split(",")
+        if s
+    ]
+    if extras:
+        result["extra_models"] = {}
+        from xdeepfm_tpu import models as M
+        from xdeepfm_tpu import pro as PRO
+        from xdeepfm_tpu.features import VarLenSparseFeat
+
+        def measure(model, x, y_np):
+            model.compile("adam", "binary_crossentropy", metrics=[])
+            b = {k: jnp.asarray(v) for k, v in model.schema.pack(x).items()}
+            yv = jnp.asarray(y_np)
+            mv = jnp.ones((BATCH,), jnp.float32)
+
+            def go(n, i0):
+                t0 = time.time()
+                total = None
+                for i in range(i0, i0 + n):
+                    (
+                        model.params, model.batch_stats, model.opt_state,
+                        total, _, _,
+                    ) = model._train_step(
+                        model.params, model.batch_stats, model.opt_state,
+                        b, yv, mv, i,
+                    )
+                float(total)
+                return time.time() - t0
+
+            go(2, 0)
+            e1 = go(4, 2)
+            e2 = go(16, 6)
+            return (e2 - e1) / 12.0
+
+        def criteo_x():
+            xx = {
+                f"C{i}": rng.integers(0, VOCAB, BATCH).astype(np.int64)
+                for i in range(N_SPARSE)
+            }
+            xx.update({
+                f"I{i}": rng.uniform(0, 1, BATCH).astype(np.float32)
+                for i in range(N_DENSE)
+            })
+            return xx, rng.integers(0, 2, (BATCH, 1)).astype(np.float32)
+
+        def dien_x():
+            maxlen = 50
+            lengths = rng.integers(1, maxlen + 1, BATCH)
+            sm = np.arange(maxlen)[None, :] < lengths[:, None]
+            xx = {
+                "user": rng.integers(0, VOCAB, BATCH).astype(np.int64),
+                "item": rng.integers(0, VOCAB, BATCH).astype(np.int64),
+                "score": rng.uniform(0, 1, BATCH).astype(np.float32),
+                "hist_item": (
+                    rng.integers(1, VOCAB, (BATCH, maxlen)) * sm
+                ).astype(np.int64),
+                "neg_hist_item": (
+                    rng.integers(1, VOCAB, (BATCH, maxlen)) * sm
+                ).astype(np.int64),
+                "seq_length": lengths.astype(np.int64),
+            }
+            return xx, rng.integers(0, 2, (BATCH, 1)).astype(np.float32)
+
+        def dien_cols():
+            return [
+                SparseFeat("user", VOCAB, embedding_dim=EMB),
+                SparseFeat("item", VOCAB, embedding_dim=EMB),
+                DenseFeat("score", 1),
+                VarLenSparseFeat(
+                    SparseFeat("hist_item", VOCAB, embedding_dim=EMB,
+                               embedding_name="item"),
+                    maxlen=50, length_name="seq_length",
+                ),
+                VarLenSparseFeat(
+                    SparseFeat("neg_hist_item", VOCAB, embedding_dim=EMB,
+                               embedding_name="item"),
+                    maxlen=50, length_name="seq_length",
+                ),
+            ]
+
+        family = {
+            "pro": (
+                lambda: PRO.xDeepFMPro(cols, cols), criteo_x,
+                pro_flops_per_step,
+            ),
+            "attn": (
+                lambda: M.xDeepFMAttention(cols, cols, cin_num_heads=2),
+                criteo_x, attn_flops_per_step,
+            ),
+            "attn2": (
+                lambda: M.xDeepFMAttentionV2(
+                    cols, cols, cin_num_heads=4, cin_num_attn_layers=2
+                ),
+                criteo_x,
+                lambda: attn_flops_per_step(heads=4, layers=2, v2=True),
+            ),
+            "dien": (
+                lambda: M.DIEN(dien_cols(), ["item"], gru_type="AUGRU",
+                               use_negsampling=True),
+                dien_x, dien_flops_per_step,
+            ),
+        }
+        for name in extras:
+            if name not in family:
+                continue
+            build, make_x, flops = family[name]
+            try:
+                xx, yy = make_x()
+                step = measure(build(), xx, yy)
+                tf = flops() / step / 1e12
+                result["extra_models"][name] = {
+                    "step_ms": round(step * 1e3, 2),
+                    "examples_per_s": round(BATCH / step, 0),
+                    "model_tflops_per_s": round(tf, 2),
+                    "mfu_pct_bf16_peak": round(
+                        100.0 * tf * 1e12 / PEAK_FLOPS_BF16, 2
+                    ),
+                }
+            except Exception as e:  # keep the flagship artifact alive
+                result["extra_models"][name] = {"error": repr(e)[:160]}
+            _write_state(state_path, {"stage": "extras", "result": result})
+
+    _write_state(state_path, {"stage": "done", "result": result})
 
 
 def main():

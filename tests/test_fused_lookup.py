@@ -107,7 +107,9 @@ def test_fused_predict_matches_unfused():
 
 
 def test_no_fusion_when_layouts_differ():
-    """DIN has no linear model — nothing to fuse; compile must not group."""
+    """DIN has no linear model — nothing to fuse; compile must not group.
+    (Round 4 measured the singleton varlen-group alternative as a
+    regression — see _build_fused_groups' negative-result note.)"""
     x, y, cols = _data()
     cols = cols[:-1] + [
         VarLenSparseFeat(SparseFeat("hist_C0", 64, 8), maxlen=5,

@@ -282,3 +282,113 @@ def test_ce_rows_pallas_mixed_vocab_buckets():
         ce_pallas.set_interpret(False)
         ce_pallas.set_stack_heads(False)
         ce_pallas.set_precision(old_prec)
+
+
+@pytest.mark.parametrize("stack_heads", [True, False])
+def test_ce_rows_pallas_row_mask_matches(stack_heads):
+    """Masked flash-CE (rows sorted by the loss mask, tiles past the valid
+    prefix skipped) matches the remat path in loss value and gradients —
+    incl. a padded-tail sample_mask and a label mix (interpret mode)."""
+    from xdeepfm_tpu.ops import ce_pallas
+    from xdeepfm_tpu.pro.sfg import SFGDecoder, sfg_loss_rows
+
+    ce_pallas.set_interpret(True)
+    old_stack = ce_pallas.stack_heads_enabled()
+    ce_pallas.set_stack_heads(stack_heads)
+    old_prec = ce_pallas._PRECISION
+    ce_pallas.set_precision("fp32")
+    try:
+        rng = np.random.default_rng(23)
+        B, F, E, D = 24, 3, 4, 2
+        vocabs = (("C0", 7), ("C1", 5), ("C2", 9))
+        emb = jnp.asarray(rng.normal(size=(B, F, E)).astype(np.float32))
+        dense = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32))
+        sample_mask = jnp.asarray(
+            (np.arange(B) < B - 3).astype(np.float32)  # padded tail rows
+        )
+        row_mask = (labels.reshape(-1) == 1).astype(jnp.float32) * sample_mask
+        targets = {
+            name: jnp.asarray(rng.integers(0, v, B)) for name, v in vocabs
+        }
+        dec = SFGDecoder(
+            embedding_dim=E, sparse_vocab_sizes=vocabs, num_dense=D,
+            hidden_units=(8, 6), dropout_rate=0.0,
+        )
+        variables = dec.init(jax.random.PRNGKey(0), emb, dense, labels)
+
+        def loss_with(impl, mask=None):
+            def f(variables, emb):
+                ll, dp = dec.apply(
+                    variables, emb, dense, targets, labels,
+                    method=SFGDecoder.ce_rows, impl=impl, row_mask=mask,
+                )
+                return sfg_loss_rows(
+                    ll, dp, dense, labels, sample_mask=sample_mask,
+                    positive_only=True,
+                )
+            return f
+
+        want = loss_with("remat")(variables, emb)
+        got = loss_with("pallas", row_mask)(variables, emb)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5,
+                                   atol=1e-6)
+
+        gv_p, ge_p = jax.grad(loss_with("pallas", row_mask), argnums=(0, 1))(
+            variables, emb
+        )
+        gv_r, ge_r = jax.grad(loss_with("remat"), argnums=(0, 1))(
+            variables, emb
+        )
+        np.testing.assert_allclose(
+            np.asarray(ge_p), np.asarray(ge_r), rtol=1e-4, atol=1e-6
+        )
+        flat_r = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(gv_r)}
+        for k, v in jax.tree_util.tree_leaves_with_path(gv_p):
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+                rtol=1e-4, atol=1e-6, err_msg=jax.tree_util.keystr(k),
+            )
+    finally:
+        ce_pallas.set_interpret(False)
+        ce_pallas.set_stack_heads(old_stack)
+        ce_pallas.set_precision(old_prec)
+
+
+def test_ce_rows_pallas_all_rows_masked():
+    """nv == 0 (no positive rows): loss is 0, gradients are finite zeros."""
+    from xdeepfm_tpu.ops import ce_pallas
+    from xdeepfm_tpu.pro.sfg import SFGDecoder, sfg_loss_rows
+
+    ce_pallas.set_interpret(True)
+    try:
+        rng = np.random.default_rng(5)
+        B, F, E, D = 16, 2, 4, 1
+        vocabs = (("C0", 7), ("C1", 5))
+        emb = jnp.asarray(rng.normal(size=(B, F, E)).astype(np.float32))
+        dense = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        labels = jnp.zeros((B, 1), jnp.float32)
+        row_mask = jnp.zeros((B,), jnp.float32)
+        targets = {
+            name: jnp.asarray(rng.integers(0, v, B)) for name, v in vocabs
+        }
+        dec = SFGDecoder(
+            embedding_dim=E, sparse_vocab_sizes=vocabs, num_dense=D,
+            hidden_units=(8,), dropout_rate=0.0,
+        )
+        variables = dec.init(jax.random.PRNGKey(0), emb, dense, labels)
+
+        def f(emb):
+            ll, dp = dec.apply(
+                variables, emb, dense, targets, labels,
+                method=SFGDecoder.ce_rows, impl="pallas", row_mask=row_mask,
+            )
+            return sfg_loss_rows(ll, dp, dense, labels, positive_only=True)
+
+        val, g = jax.value_and_grad(f)(emb)
+        assert float(val) == 0.0
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+    finally:
+        ce_pallas.set_interpret(False)

@@ -351,6 +351,16 @@ class BaseModel:
         for path, (entries, _, _) in self._build_lazy_specs().items():
             rows = flat[path].shape[0]
             by_key.setdefault((entries, rows), []).append(path)
+
+        # NEGATIVE RESULT (round 4, measured): extending fusion to singleton
+        # tables with >= 2 gather sites (behavior-sequence models: the
+        # sparse bundle + each varlen history hits one item table) REGRESSED
+        # both DIEN (8.15 -> 9.51 ms) and DIN (3.41 -> 4.27) — unlike the
+        # main+linear case the site ids differ, so total gathered rows don't
+        # shrink, and the per-occurrence compact block adds slice/unify
+        # copies that cost more than the saved per-scatter overhead.  Fusion
+        # therefore stays >= 2 same-layout tables (identical id patterns:
+        # the combined gather halves the rows touched).
         return [
             (entries, tuple(sorted(paths)))
             for (entries, _), paths in sorted(by_key.items(), key=str)

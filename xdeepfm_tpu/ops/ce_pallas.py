@@ -135,7 +135,7 @@ def _dot(a, b, dims):
     )
 
 
-def _fwd_kernel(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
+def _fwd_kernel(nv_ref, h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
                 m_ref, s_ref, p_ref, sS_ref, *, Bt, Vb):
     # SOFTWARE-PIPELINED: each grid step issues the MXU dot for vocab block
     # j, then runs the VPU online-logsumexp update on block j-1 (kept in the
@@ -143,45 +143,65 @@ def _fwd_kernel(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
     # overlap the dot with the previous block's softmax passes — without
     # this the grid steps serialize MXU and VPU work (the kernel is
     # VPU-bound: the dot is ~0.3 us/block vs ~1.5 us of softmax passes).
+    #
+    # ROW MASKING: nv_ref (SMEM scalar) holds the count of rows whose CE the
+    # loss actually consumes; callers sort those rows to the front (the
+    # positive-only SFG loss multiplies every other row's CE by zero, fwd
+    # AND bwd — reference sfg_decoder.py:240-311).  A batch tile past the
+    # valid prefix skips ALL its dots and softmax passes; the whole tile
+    # body sits in ONE predicated region so the in-body MXU/VPU program-
+    # order overlap is preserved (predicating individual pipeline stages
+    # was measured to defeat it, 2026-08-20).
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    nv = pl.num_programs(1)
+    nblk = pl.num_programs(1)
+    valid = i * Bt < nv_ref[0]
 
-    @pl.when(j == 0)
+    @pl.when(valid)
     def _():
-        m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
-        s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
-        p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
-        sS_ref[...] = jnp.full((Bt, Vb), _DUMMY, jnp.float32)
+        @pl.when(j == 0)
+        def _():
+            m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
+            s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+            p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+            sS_ref[...] = jnp.full((Bt, Vb), _DUMMY, jnp.float32)
 
-    S = _dot(h_ref[...], w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
+        S = _dot(h_ref[...], w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
 
-    def process(blk, jj):
-        # jj = -1 processes the _DUMMY priming block: exact no-op (see
-        # _DUMMY note; tloc >= Vb so the target pick misses every column)
-        mb = jnp.max(blk, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_ref[...], mb)
-        alpha = jnp.exp(m_ref[...] - m_new)
-        s_ref[...] = s_ref[...] * alpha + jnp.sum(
-            jnp.exp(blk - m_new), axis=1, keepdims=True
-        )
-        m_ref[...] = m_new
-        tloc = t_ref[...] - jj * Vb  # [Bt, 1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
-        hit = iota == tloc
-        p_ref[...] += jnp.sum(jnp.where(hit, blk, 0.0), axis=1, keepdims=True)
+        def process(blk, jj):
+            # jj = -1 processes the _DUMMY priming block: exact no-op (see
+            # _DUMMY note; tloc >= Vb so the target pick misses every column)
+            mb = jnp.max(blk, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_ref[...], mb)
+            alpha = jnp.exp(m_ref[...] - m_new)
+            s_ref[...] = s_ref[...] * alpha + jnp.sum(
+                jnp.exp(blk - m_new), axis=1, keepdims=True
+            )
+            m_ref[...] = m_new
+            tloc = t_ref[...] - jj * Vb  # [Bt, 1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+            hit = iota == tloc
+            p_ref[...] += jnp.sum(
+                jnp.where(hit, blk, 0.0), axis=1, keepdims=True
+            )
 
-    process(sS_ref[...], j - 1)
-    sS_ref[...] = S
+        process(sS_ref[...], j - 1)
+        sS_ref[...] = S
 
-    @pl.when(j == nv - 1)
+        @pl.when(j == nblk - 1)
+        def _():
+            process(S, j)
+            logz = m_ref[...] + jnp.log(s_ref[...])
+            logz_ref[...] = logz
+            ll_ref[...] = logz - p_ref[...]
+
+    @pl.when(jnp.logical_not(valid) & (j == nblk - 1))
     def _():
-        process(S, j)
-        logz = m_ref[...] + jnp.log(s_ref[...])
-        logz_ref[...] = logz
-        ll_ref[...] = logz - p_ref[...]
+        ll_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+        logz_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
 
 
-def _bwd_kernel(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
+def _bwd_kernel(nv_ref, h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
                 dh_ref, dw_ref, db_ref, dS_s, h_s, *, Bt, Vb):
     # grid (vocab blocks MAJOR, batch tiles minor): dW/db column blocks
     # accumulate over the inner batch loop; dh is resident for the whole run.
@@ -189,11 +209,20 @@ def _bwd_kernel(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
     # three gradient contractions for batch tile i-1 (reading the dS/h
     # scratches) are independent of tile i's logit dot -> P -> dS chain, so
     # the MXU gradient dots overlap tile i's VPU softmax passes.  The
-    # pipeline flushes at i == nb-1 (dS of the last tile handled eagerly)
-    # so no pending state crosses a dw/db block switch.
+    # pipeline flushes at the LAST VALID tile (its dS handled eagerly) so no
+    # pending state crosses a dw/db block switch.
+    #
+    # ROW MASKING (see _fwd_kernel): tiles past the sorted valid prefix have
+    # g == 0 rows only, so dS == 0 — skipping them changes nothing and saves
+    # their recompute dot + 2 exp-sized VPU passes + 3 gradient dots.  The
+    # zero-inits stay unconditional so every output block is defined even
+    # when nv == 0.
     j = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
+    nv = nv_ref[0]
+    valid = i * Bt < nv
+    last_valid = valid & (((i + 1) * Bt >= nv) | (i == nb - 1))
 
     @pl.when(i == 0)
     def _():
@@ -209,44 +238,50 @@ def _bwd_kernel(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
     def _():
         dh_ref[...] = jnp.zeros_like(dh_ref)
 
-    h = h_ref[...]
-    S = _dot(h, w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
-
-    # pending gradient dots for tile i-1 — UNCONDITIONAL (predicated bodies
-    # defeat MXU/VPU overlap); at i == 0 the zeroed scratches make this +0
-    ip = jnp.maximum(i - 1, 0)
-    dS_p = dS_s[...]
-    h_p = h_s[...]
-    dh_ref[pl.ds(ip * Bt, Bt), :] += _dot(dS_p, w_ref[...], ((1,), (1,)))
-    dw_ref[...] += _dot(h_p, dS_p, ((0,), (0,)))  # [K, Vb]
-    db_ref[...] += jnp.sum(dS_p, axis=0, keepdims=True)
-
-    P = jnp.exp(S - logz_ref[...])
-    tloc = t_ref[...] - j * Vb
-    iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
-    onehot = (iota == tloc).astype(jnp.float32)
-    dS = (P - onehot) * g_ref[...]  # [Bt, Vb]
-    dS_s[...] = dS
-    h_s[...] = h
-
-    @pl.when(i == nb - 1)
+    @pl.when(valid)
     def _():
-        dh_ref[pl.ds(i * Bt, Bt), :] += _dot(dS, w_ref[...], ((1,), (1,)))
-        dw_ref[...] += _dot(h, dS, ((0,), (0,)))
-        db_ref[...] += jnp.sum(dS, axis=0, keepdims=True)
+        h = h_ref[...]
+        S = _dot(h, w_ref[...], ((1,), (0,))) + b_ref[...]  # [Bt, Vb]
+
+        # pending gradient dots for tile i-1 — unpredicated WITHIN the valid
+        # region (predicating individual stages defeats MXU/VPU overlap);
+        # at i == 0 the zeroed scratches make this +0
+        ip = jnp.maximum(i - 1, 0)
+        dS_p = dS_s[...]
+        h_p = h_s[...]
+        dh_ref[pl.ds(ip * Bt, Bt), :] += _dot(dS_p, w_ref[...], ((1,), (1,)))
+        dw_ref[...] += _dot(h_p, dS_p, ((0,), (0,)))  # [K, Vb]
+        db_ref[...] += jnp.sum(dS_p, axis=0, keepdims=True)
+
+        P = jnp.exp(S - logz_ref[...])
+        tloc = t_ref[...] - j * Vb
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+        onehot = (iota == tloc).astype(jnp.float32)
+        dS = (P - onehot) * g_ref[...]  # [Bt, Vb]
+        dS_s[...] = dS
+        h_s[...] = h
+
+        @pl.when(last_valid)
+        def _():
+            dh_ref[pl.ds(i * Bt, Bt), :] += _dot(dS, w_ref[...], ((1,), (1,)))
+            dw_ref[...] += _dot(h, dS, ((0,), (0,)))
+            db_ref[...] += jnp.sum(dS, axis=0, keepdims=True)
 
 
 def _ceil_to(x, m):
     return (x + m - 1) // m * m
 
 
+_SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ce_core(meta, h, W, b2, t2):
-    ll, _ = _ce_fwd(meta, h, W, b2, t2)
+def _ce_core(meta, h, W, b2, t2, nv2):
+    ll, _ = _ce_fwd(meta, h, W, b2, t2, nv2)
     return ll
 
 
-def _ce_fwd(meta, h, W, b2, t2):
+def _ce_fwd(meta, h, W, b2, t2, nv2):
     Bt, Vb = meta
     Bp, K = h.shape
     Vp = W.shape[1]
@@ -261,6 +296,7 @@ def _ce_fwd(meta, h, W, b2, t2):
         ),
         grid=grid,
         in_specs=[
+            _SMEM_SPEC,
             pl.BlockSpec((Bt, K), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, Vb), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vb), col, memory_space=pltpu.VMEM),
@@ -280,13 +316,13 @@ def _ce_fwd(meta, h, W, b2, t2):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(h, W, b2, t2)
-    return ll, (h, W, b2, t2, logz)
+    )(nv2, h, W, b2, t2)
+    return ll, (h, W, b2, t2, nv2, logz)
 
 
 def _ce_bwd(meta, res, g):
     Bt, Vb = meta
-    h, W, b2, t2, logz = res
+    h, W, b2, t2, nv2, logz = res
     Bp, K = h.shape
     Vp = W.shape[1]
     grid = (Vp // Vb, Bp // Bt)
@@ -302,6 +338,7 @@ def _ce_bwd(meta, res, g):
         ),
         grid=grid,
         in_specs=[
+            _SMEM_SPEC,
             pl.BlockSpec((Bt, K), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, Vb), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Vb), col, memory_space=pltpu.VMEM),
@@ -322,64 +359,80 @@ def _ce_bwd(meta, res, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(h, W, b2, t2, logz, g)
-    return dh, dW, db, None
+    )(nv2, h, W, b2, t2, logz, g)
+    return dh, dW, db, None, None
 
 
 _ce_core.defvjp(_ce_fwd, _ce_bwd)
 
 
-def _fwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
+def _fwd_kernel_stacked(nv_ref, h_ref, w_ref, b_ref, t_ref, ll_ref, logz_ref,
                         m_ref, s_ref, p_ref, sS_ref, *, Bt, Vb):
     # grid (head f, batch tile i, vocab block j) — same software pipeline as
     # _fwd_kernel, but all heads share ONE kernel launch so the pipeline
     # never drains between heads and per-call dispatch overhead is paid once.
+    # Row masking as in _fwd_kernel (whole-tile skip past the valid prefix).
+    i = pl.program_id(1)
     j = pl.program_id(2)
-    nv = pl.num_programs(2)
+    nblk = pl.num_programs(2)
+    valid = i * Bt < nv_ref[0]
 
-    @pl.when(j == 0)
+    @pl.when(valid)
     def _():
-        m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
-        s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
-        p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
-        sS_ref[...] = jnp.full((Bt, Vb), _DUMMY, jnp.float32)
+        @pl.when(j == 0)
+        def _():
+            m_ref[...] = jnp.full((Bt, 1), _NEG, jnp.float32)
+            s_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+            p_ref[...] = jnp.zeros((Bt, 1), jnp.float32)
+            sS_ref[...] = jnp.full((Bt, Vb), _DUMMY, jnp.float32)
 
-    S = _dot(h_ref[...], w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
+        S = _dot(h_ref[...], w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
 
-    def process(blk, jj):
-        # jj = -1 processes the _DUMMY priming block: exact no-op
-        mb = jnp.max(blk, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_ref[...], mb)
-        alpha = jnp.exp(m_ref[...] - m_new)
-        s_ref[...] = s_ref[...] * alpha + jnp.sum(
-            jnp.exp(blk - m_new), axis=1, keepdims=True
-        )
-        m_ref[...] = m_new
-        tloc = t_ref[0] - jj * Vb  # [Bt, 1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
-        hit = iota == tloc
-        p_ref[...] += jnp.sum(jnp.where(hit, blk, 0.0), axis=1, keepdims=True)
+        def process(blk, jj):
+            # jj = -1 processes the _DUMMY priming block: exact no-op
+            mb = jnp.max(blk, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_ref[...], mb)
+            alpha = jnp.exp(m_ref[...] - m_new)
+            s_ref[...] = s_ref[...] * alpha + jnp.sum(
+                jnp.exp(blk - m_new), axis=1, keepdims=True
+            )
+            m_ref[...] = m_new
+            tloc = t_ref[0] - jj * Vb  # [Bt, 1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+            hit = iota == tloc
+            p_ref[...] += jnp.sum(
+                jnp.where(hit, blk, 0.0), axis=1, keepdims=True
+            )
 
-    process(sS_ref[...], j - 1)
-    sS_ref[...] = S
+        process(sS_ref[...], j - 1)
+        sS_ref[...] = S
 
-    @pl.when(j == nv - 1)
+        @pl.when(j == nblk - 1)
+        def _():
+            process(S, j)
+            logz = m_ref[...] + jnp.log(s_ref[...])
+            logz_ref[0] = logz
+            ll_ref[0] = logz - p_ref[...]
+
+    @pl.when(jnp.logical_not(valid) & (j == nblk - 1))
     def _():
-        process(S, j)
-        logz = m_ref[...] + jnp.log(s_ref[...])
-        logz_ref[0] = logz
-        ll_ref[0] = logz - p_ref[...]
+        ll_ref[0] = jnp.zeros((Bt, 1), jnp.float32)
+        logz_ref[0] = jnp.zeros((Bt, 1), jnp.float32)
 
 
-def _bwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
+def _bwd_kernel_stacked(nv_ref, h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
                         dh_ref, dw_ref, db_ref, dS_s, h_s, *, Bt, Vb):
     # grid (head f, vocab block j MAJOR, batch tile i minor); dh accumulates
     # across heads AND vocab blocks (the trunk hidden state feeds every
-    # head), dW/db per (f, j) column block.  Pipelined like _bwd_kernel.
+    # head), dW/db per (f, j) column block.  Pipelined like _bwd_kernel,
+    # row-masked like _bwd_kernel (whole-tile skip past the valid prefix).
     f = pl.program_id(0)
     j = pl.program_id(1)
     i = pl.program_id(2)
     nb = pl.num_programs(2)
+    nv = nv_ref[0]
+    valid = i * Bt < nv
+    last_valid = valid & (((i + 1) * Bt >= nv) | (i == nb - 1))
 
     @pl.when(i == 0)
     def _():
@@ -392,65 +445,71 @@ def _bwd_kernel_stacked(h_ref, w_ref, b_ref, t_ref, logz_ref, g_ref,
     def _():
         dh_ref[...] = jnp.zeros_like(dh_ref)
 
-    h = h_ref[...]
-    S = _dot(h, w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
-
-    # unconditional pending-gradient dots (see _bwd_kernel)
-    ip = jnp.maximum(i - 1, 0)
-    dS_p = dS_s[...]
-    h_p = h_s[...]
-    dh_ref[pl.ds(ip * Bt, Bt), :] += _dot(dS_p, w_ref[0], ((1,), (1,)))
-    dw_ref[0] += _dot(h_p, dS_p, ((0,), (0,)))
-    db_ref[0] += jnp.sum(dS_p, axis=0, keepdims=True)
-
-    P = jnp.exp(S - logz_ref[0])
-    tloc = t_ref[0] - j * Vb
-    iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
-    onehot = (iota == tloc).astype(jnp.float32)
-    dS = (P - onehot) * g_ref[0]  # [Bt, Vb]
-    dS_s[...] = dS
-    h_s[...] = h
-
-    @pl.when(i == nb - 1)
+    @pl.when(valid)
     def _():
-        dh_ref[pl.ds(i * Bt, Bt), :] += _dot(dS, w_ref[0], ((1,), (1,)))
-        dw_ref[0] += _dot(h, dS, ((0,), (0,)))
-        db_ref[0] += jnp.sum(dS, axis=0, keepdims=True)
+        h = h_ref[...]
+        S = _dot(h, w_ref[0], ((1,), (0,))) + b_ref[0]  # [Bt, Vb]
+
+        # pending-gradient dots, unpredicated within the valid region
+        ip = jnp.maximum(i - 1, 0)
+        dS_p = dS_s[...]
+        h_p = h_s[...]
+        dh_ref[pl.ds(ip * Bt, Bt), :] += _dot(dS_p, w_ref[0], ((1,), (1,)))
+        dw_ref[0] += _dot(h_p, dS_p, ((0,), (0,)))
+        db_ref[0] += jnp.sum(dS_p, axis=0, keepdims=True)
+
+        P = jnp.exp(S - logz_ref[0])
+        tloc = t_ref[0] - j * Vb
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vb), 1)
+        onehot = (iota == tloc).astype(jnp.float32)
+        dS = (P - onehot) * g_ref[0]  # [Bt, Vb]
+        dS_s[...] = dS
+        h_s[...] = h
+
+        @pl.when(last_valid)
+        def _():
+            dh_ref[pl.ds(i * Bt, Bt), :] += _dot(dS, w_ref[0], ((1,), (1,)))
+            dw_ref[0] += _dot(h, dS, ((0,), (0,)))
+            db_ref[0] += jnp.sum(dS, axis=0, keepdims=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ce_core_stacked(meta, h, Ws, bs, ts):
-    ll, _ = _ces_fwd(meta, h, Ws, bs, ts)
+def _ce_core_stacked(meta, h, Ws, bs, ts, nv2):
+    ll, _ = _ces_fwd(meta, h, Ws, bs, ts, nv2)
     return ll
 
 
-def _ces_fwd(meta, h, Ws, bs, ts):
+def _ces_fwd(meta, h, Ws, bs, ts, nv2):
     Bt, Vb = meta
     Bp, K = h.shape
     F, _, Vp = Ws.shape
     grid = (F, Bp // Bt, Vp // Vb)
-    ll, logz = pl.pallas_call(
-        functools.partial(_fwd_kernel_stacked, Bt=Bt, Vb=Vb),
-        out_shape=(
-            jax.ShapeDtypeStruct((F, Bp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((F, Bp, 1), jnp.float32),
-        ),
+
+    # scalar-prefetch index maps: blocks for tiles past the valid prefix
+    # re-point at an already-fetched block index, so Mosaic's block-change
+    # detection skips their DMA entirely (the kernel body skips their
+    # compute; their inputs are never read)
+    def _ieff(i, j, nv_ref):
+        return jnp.where(i * Bt < nv_ref[0], i, 0)
+
+    def _jeff(i, j, nv_ref):
+        return jnp.where(i * Bt < nv_ref[0], j, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Bt, K), lambda f, i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, Vb), lambda f, i, j: (f, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Vb), lambda f, i, j: (f, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, 1), lambda f, i, j: (f, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, K), lambda f, i, j, nv: (_ieff(i, j, nv), 0)),
+            pl.BlockSpec((1, K, Vb),
+                         lambda f, i, j, nv: (f, 0, _jeff(i, j, nv))),
+            pl.BlockSpec((1, 1, Vb),
+                         lambda f, i, j, nv: (f, 0, _jeff(i, j, nv))),
+            pl.BlockSpec((1, Bt, 1),
+                         lambda f, i, j, nv: (f, _ieff(i, j, nv), 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, Bt, 1), lambda f, i, j: (f, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, 1), lambda f, i, j: (f, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt, 1), lambda f, i, j, nv: (f, i, 0)),
+            pl.BlockSpec((1, Bt, 1), lambda f, i, j, nv: (f, i, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((Bt, 1), jnp.float32),
@@ -458,20 +517,56 @@ def _ces_fwd(meta, h, Ws, bs, ts):
             pltpu.VMEM((Bt, 1), jnp.float32),
             pltpu.VMEM((Bt, Vb), jnp.float32),
         ],
+    )
+    ll, logz = pl.pallas_call(
+        functools.partial(_fwd_kernel_stacked, Bt=Bt, Vb=Vb),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((F, Bp, 1), jnp.float32),
+        ),
+        grid_spec=grid_spec,
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(h, Ws, bs, ts)
-    return ll, (h, Ws, bs, ts, logz)
+    )(nv2, h, Ws, bs, ts)
+    return ll, (h, Ws, bs, ts, nv2, logz)
 
 
 def _ces_bwd(meta, res, g):
     Bt, Vb = meta
-    h, Ws, bs, ts, logz = res
+    h, Ws, bs, ts, nv2, logz = res
     Bp, K = h.shape
     F, _, Vp = Ws.shape
     grid = (F, Vp // Vb, Bp // Bt)
+
+    def _ieff(i, nv_ref):
+        return jnp.where(i * Bt < nv_ref[0], i, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, K), lambda f, j, i, nv: (_ieff(i, nv), 0)),
+            pl.BlockSpec((1, K, Vb), lambda f, j, i, nv: (f, 0, j)),
+            pl.BlockSpec((1, 1, Vb), lambda f, j, i, nv: (f, 0, j)),
+            pl.BlockSpec((1, Bt, 1),
+                         lambda f, j, i, nv: (f, _ieff(i, nv), 0)),
+            pl.BlockSpec((1, Bt, 1),
+                         lambda f, j, i, nv: (f, _ieff(i, nv), 0)),
+            pl.BlockSpec((1, Bt, 1),
+                         lambda f, j, i, nv: (f, _ieff(i, nv), 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bp, K), lambda f, j, i, nv: (0, 0)),
+            pl.BlockSpec((1, K, Vb), lambda f, j, i, nv: (f, 0, j)),
+            pl.BlockSpec((1, 1, Vb), lambda f, j, i, nv: (f, 0, j)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bt, Vb), jnp.float32),
+            pltpu.VMEM((Bt, K), jnp.float32),
+        ],
+    )
     dh, dW, db = pl.pallas_call(
         functools.partial(_bwd_kernel_stacked, Bt=Bt, Vb=Vb),
         out_shape=(
@@ -479,51 +574,36 @@ def _ces_bwd(meta, res, g):
             jax.ShapeDtypeStruct((F, K, Vp), jnp.float32),
             jax.ShapeDtypeStruct((F, 1, Vp), jnp.float32),
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((Bt, K), lambda f, j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, Vb), lambda f, j, i: (f, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Vb), lambda f, j, i: (f, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, 1), lambda f, j, i: (f, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, 1), lambda f, j, i: (f, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, 1), lambda f, j, i: (f, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((Bp, K), lambda f, j, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, Vb), lambda f, j, i: (f, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Vb), lambda f, j, i: (f, 0, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((Bt, Vb), jnp.float32),
-            pltpu.VMEM((Bt, K), jnp.float32),
-        ],
+        grid_spec=grid_spec,
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(h, Ws, bs, ts, logz, g)
-    return dh, dW, db, None
+    )(nv2, h, Ws, bs, ts, logz, g)
+    return dh, dW, db, None, None
 
 
 _ce_core_stacked.defvjp(_ces_fwd, _ces_bwd)
 
 
-def fused_ce_rows_stacked(h, Ws, bs, targets):
+def _nv_arr(num_valid, B):
+    """[1] int32 valid-row count for the SMEM scalar (None -> all rows)."""
+    if num_valid is None:
+        return jnp.full((1,), B, jnp.int32)
+    return jnp.asarray(num_valid, jnp.int32).reshape(1)
+
+
+def fused_ce_rows_stacked(h, Ws, bs, targets, num_valid=None):
     """Per-row CE for F same-shape heads in ONE kernel launch.
 
     h: [B, K] shared hidden; Ws: list/stack of F [K, V] kernels; bs: F [V]
     biases; targets: [F, B] int32.  Returns [F, B] fp32.  Heads must share
     K and V (callers bucket heads by padded vocab and pad W/b columns —
     bias pad of _NEG keeps padded columns out of the logsumexp).
+
+    num_valid (optional dynamic scalar): rows >= num_valid are skipped
+    entirely (their ll is 0 and they receive/contribute no gradients) —
+    callers sort the loss-masked rows to the front (sort_rows_by_mask).
     """
     if not isinstance(Ws, jnp.ndarray):
         Ws = jnp.stack([w.astype(jnp.float32) for w in Ws])
@@ -542,17 +622,18 @@ def fused_ce_rows_stacked(h, Ws, bs, targets):
     tp = jnp.pad(
         targets.astype(jnp.int32), ((0, 0), (0, Bp - B))
     ).reshape(F, Bp, 1)
-    ll = _ce_core_stacked((Bt, Vb), hp, Wp, bp, tp)
+    ll = _ce_core_stacked((Bt, Vb), hp, Wp, bp, tp, _nv_arr(num_valid, B))
     return ll[:, :B, 0]
 
 
-def fused_ce_rows(h, W, b, targets):
+def fused_ce_rows(h, W, b, targets, num_valid=None):
     """Per-row softmax cross-entropy ``logsumexp(h@W+b) - (h@W+b)[target]``
     without materializing the [B, V] logits (semantics of reference
     ``sfg_decoder.py:240-311``'s per-feature CE, reduction='none').
 
     h: [B, K] fp32, W: [K, V], b: [V], targets: int32 [B] -> fp32 [B].
     Differentiable in h, W, b (custom VJP; logit blocks recomputed).
+    num_valid: see :func:`fused_ce_rows_stacked`.
     """
     B, K = h.shape
     V = W.shape[1]
@@ -566,5 +647,63 @@ def fused_ce_rows(h, W, b, targets):
         b.astype(jnp.float32), (0, Vp - V), constant_values=_NEG
     ).reshape(1, Vp)
     tp = jnp.pad(targets.reshape(-1, 1).astype(jnp.int32), ((0, Bp - B), (0, 0)))
-    ll = _ce_core((Bt, Vb), hp, Wp, bp, tp)
+    ll = _ce_core((Bt, Vb), hp, Wp, bp, tp, _nv_arr(num_valid, B))
     return ll[:B, 0]
+
+
+# ---------------------------------------------------------------------------
+# row-permutation helpers for the masked-CE path
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv):
+    """``x[perm]`` along axis 0 whose backward is a GATHER by the inverse
+    permutation instead of XLA's serialized scatter-add (perm must be a
+    permutation and inv its inverse — true for argsort outputs)."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _perm_fwd(x, perm, inv):
+    return jnp.take(x, perm, axis=0), (perm, inv)
+
+
+def _perm_bwd(res, g):
+    perm, inv = res
+    return jnp.take(g, inv, axis=0), None, None
+
+
+permute_rows.defvjp(_perm_fwd, _perm_bwd)
+
+
+@jax.custom_vjp
+def unpermute_cols(x, perm, inv):
+    """``x[:, inv]`` along axis 1 (undo a row sort on per-head [F, B] CE
+    values); backward gathers by ``perm``."""
+    return jnp.take(x, inv, axis=1)
+
+
+def _unperm_fwd(x, perm, inv):
+    return jnp.take(x, inv, axis=1), (perm, inv)
+
+
+def _unperm_bwd(res, g):
+    perm, inv = res
+    return jnp.take(g, perm, axis=1), None, None
+
+
+unpermute_cols.defvjp(_unperm_fwd, _unperm_bwd)
+
+
+def sort_rows_by_mask(mask):
+    """(perm, inv, num_valid) putting rows with mask > 0 first (stable).
+
+    The SFG loss multiplies every masked-out row's CE by zero — forward and
+    backward — so the CE kernels can skip whole batch tiles past the valid
+    prefix (reference semantics: ``sfg_decoder.py:240-311`` positive_only +
+    the engine's padded-tail sample_mask)."""
+    mask = mask.reshape(-1)
+    perm = jnp.argsort(jnp.where(mask > 0, 0, 1), stable=True)
+    inv = jnp.argsort(perm)
+    num_valid = jnp.sum((mask > 0).astype(jnp.int32))
+    return perm, inv, num_valid

@@ -163,7 +163,8 @@ class SFGDecoder(nn.Module):
         return sparse_logits, dense_preds
 
     def ce_rows(self, sparse_embeddings, dense_values, sparse_targets,
-                labels=None, training: bool = False, impl: str = "remat"):
+                labels=None, training: bool = False, impl: str = "remat",
+                row_mask=None):
         """Fused heads+CE: {name: per-row -log p(target)} and dense_preds.
 
         impl='remat': each head's [B, vocab] logits rematerialized in the
@@ -173,11 +174,37 @@ class SFGDecoder(nn.Module):
         pallas backward holds a fp32 [B, hidden] accumulator in VMEM, so
         oversized batch*hidden products auto-fall back to remat
         (``ce_pallas.fits_vmem``).
+
+        row_mask (pallas only): the loss's per-row weight pattern (positive
+        mask x sample mask).  Masked-out rows' CE is multiplied by ZERO in
+        :func:`sfg_loss_rows` — forward and backward — so rows are sorted
+        by the mask and the kernels skip whole tiles past the valid prefix
+        (typical CTR batches are ~25-50% positive -> ~2-4x less CE work;
+        exact for any labels).  Their returned ll entries are 0.
         """
         B = sparse_embeddings.shape[0]
         h = self.hidden(sparse_embeddings, dense_values, labels, training)
         if impl == "pallas" and not ce_pallas.fits_vmem(B, h.shape[-1]):
             impl = "remat"
+        perm = inv = nv = None
+        h_k = h
+        if (
+            impl == "pallas"
+            and row_mask is not None
+            and not self.is_initializing()
+        ):
+            perm, inv, nv = ce_pallas.sort_rows_by_mask(row_mask)
+            h_k = ce_pallas.permute_rows(h, perm, inv)
+
+        def pick_targets(t):
+            t = t.reshape(-1)
+            return t if perm is None else jnp.take(t, perm)
+
+        def unsort_rows(ll):
+            return ll if perm is None else ce_pallas.permute_rows(
+                ll, inv, perm
+            )
+
         ll_rows = {}
         if (
             impl == "pallas"
@@ -200,9 +227,10 @@ class SFGDecoder(nn.Module):
                     name, _, head = items[0]
                     kernel = head.variables["params"]["kernel"]
                     bias = head.variables["params"]["bias"]
-                    ll_rows[name] = ce_pallas.fused_ce_rows(
-                        h, kernel, bias, sparse_targets[name].reshape(-1)
-                    )
+                    ll_rows[name] = unsort_rows(ce_pallas.fused_ce_rows(
+                        h_k, kernel, bias, pick_targets(sparse_targets[name]),
+                        num_valid=nv,
+                    ))
                     continue
                 Ws, bs, ts = [], [], []
                 for name, vocab, head in items:
@@ -215,19 +243,23 @@ class SFGDecoder(nn.Module):
                         bias.astype(jnp.float32), (0, vp - vocab),
                         constant_values=ce_pallas._NEG,
                     ))
-                    ts.append(sparse_targets[name].reshape(-1))
+                    ts.append(pick_targets(sparse_targets[name]))
                 ll = ce_pallas.fused_ce_rows_stacked(
-                    h, jnp.stack(Ws), jnp.stack(bs), jnp.stack(ts)
+                    h_k, jnp.stack(Ws), jnp.stack(bs), jnp.stack(ts),
+                    num_valid=nv,
                 )
+                if perm is not None:
+                    ll = ce_pallas.unpermute_cols(ll, perm, inv)
                 for r, (name, _, _) in enumerate(items):
                     ll_rows[name] = ll[r]
         elif impl == "pallas" and not self.is_initializing():
             for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
                 kernel = head.variables["params"]["kernel"]
                 bias = head.variables["params"]["bias"]
-                ll_rows[name] = ce_pallas.fused_ce_rows(
-                    h, kernel, bias, sparse_targets[name].reshape(-1)
-                )
+                ll_rows[name] = unsort_rows(ce_pallas.fused_ce_rows(
+                    h_k, kernel, bias, pick_targets(sparse_targets[name]),
+                    num_valid=nv,
+                ))
         else:
             for (name, _), head in zip(self.sparse_vocab_sizes, self.heads):
                 targets = sparse_targets[name].reshape(-1)

@@ -201,10 +201,23 @@ class XDeepFMProModule(nn.Module):
                     )
                     fused = logits_bytes > 8 * 1024**3
             if fused:
+                # the loss's exact per-row weight pattern (positive mask x
+                # padded-tail sample mask): rows it zeroes need no CE at all,
+                # so the flash-CE kernels sort them out and skip their tiles
+                # (sfg.py ce_rows row_mask).  Only worth the sort under
+                # positive_only — all-samples batches have no skippable
+                # prefix beyond the rare padded tail.
+                row_mask = None
+                if self.sfg_positive_only:
+                    row_mask = (labels.reshape(-1) == 1).astype(jnp.float32)
+                    sm = batch.get("sample_mask")
+                    if sm is not None:
+                        row_mask = row_mask * sm.reshape(-1)
                 ll_rows, dense_preds = self.sfg_decoder.ce_rows(
                     sparse_stack, dv, sparse_targets, labels,
                     training=training,
                     impl="pallas" if fused == "pallas" else "remat",
+                    row_mask=row_mask if fused == "pallas" else None,
                 )
                 loss = sfg_loss_rows(
                     ll_rows,
