@@ -273,7 +273,9 @@ def child_main(state_path):
     # still yields the flagship number + whatever finished.  Trim with
     # BENCH_MODELS (e.g. BENCH_MODELS=pro or BENCH_MODELS= for none).
     extras = [
-        s for s in os.environ.get("BENCH_MODELS", "pro,attn,dien").split(",")
+        s for s in os.environ.get(
+            "BENCH_MODELS", "pro,attn,dien,serve"
+        ).split(",")
         if s
     ]
     if extras:
@@ -375,7 +377,57 @@ def child_main(state_path):
                 dien_x, dien_flops_per_step,
             ),
         }
+        def measure_serving():
+            """Forward-only scoring throughput on the flagship model at the
+            Scorer's default batch (serving.py).  Chained: each iteration's
+            predictions perturb the next batch's dense input (materially
+            changing inputs defeat the tunnel's content cache) and the chain
+            ends in a value fetch."""
+            SB = 8192
+            xs = {
+                f"C{i}": rng.integers(0, VOCAB, SB).astype(np.int64)
+                for i in range(N_SPARSE)
+            }
+            xs.update({
+                f"I{i}": rng.uniform(0, 1, SB).astype(np.float32)
+                for i in range(N_DENSE)
+            })
+            base = {
+                k: jnp.asarray(v) for k, v in model.schema.pack(xs).items()
+            }
+
+            def go(n):
+                t0 = time.time()
+                bb = dict(base)
+                pred = None
+                for _ in range(n):
+                    pred = model._predict_step(
+                        model.params, model.batch_stats, bb
+                    )
+                    bb = dict(base)
+                    bb["dense"] = base["dense"] + jnp.sum(pred) * 1e-6
+                float(jnp.sum(pred))
+                return time.time() - t0
+
+            go(2)
+            e1 = go(4)
+            e2 = go(16)
+            step = (e2 - e1) / 12.0
+            return {
+                "step_ms": round(step * 1e3, 2),
+                "examples_per_s": round(SB / step, 0),
+                "batch": SB,
+                "mode": "predict (serving.Scorer path)",
+            }
+
         for name in extras:
+            if name == "serve":
+                try:
+                    result["extra_models"]["serve"] = measure_serving()
+                except Exception as e:
+                    result["extra_models"]["serve"] = {"error": repr(e)[:160]}
+                _write_state(state_path, {"stage": "extras", "result": result})
+                continue
             if name not in family:
                 continue
             build, make_x, flops = family[name]

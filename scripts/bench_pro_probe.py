@@ -28,6 +28,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+# Label positive rate: the masked flash-CE path skips zero-weight rows' batch
+# tiles (sfg_positive_only), so the SFG cost scales with this.  Real CTR
+# corpora run ~0.25; the default 0.5 matches the historical bench labels.
+POS_RATE = float(os.environ.get("BENCH_POS_RATE", "0.5"))
 N_SPARSE, N_DENSE, VOCAB, EMB = 26, 13, 10000, 10
 
 
@@ -78,7 +82,7 @@ def main(names=None):
         f"I{i}": rng.uniform(0, 1, BATCH).astype(np.float32)
         for i in range(N_DENSE)
     })
-    y_np = rng.integers(0, 2, (BATCH, 1)).astype(np.float32)
+    y_np = (rng.uniform(0, 1, (BATCH, 1)) < POS_RATE).astype(np.float32)
     for name in run_names:
         try:
             model = all_v[name](cols)
@@ -111,6 +115,7 @@ def main(names=None):
                 "variant": name,
                 "step_ms": round(step * 1e3, 2),
                 "examples_per_s": round(BATCH / step, 0),
+                "pos_rate": POS_RATE,
             }), flush=True)
         except Exception as e:
             print(json.dumps({"variant": name, "error": repr(e)[:200]}),

@@ -356,6 +356,42 @@ def test_ce_rows_pallas_row_mask_matches(stack_heads):
         ce_pallas.set_precision(old_prec)
 
 
+def test_fused_ce_rows_num_valid_zero_contract():
+    """Rows >= num_valid return exactly 0 and contribute no gradients even
+    when they land inside the straddling batch tile (the tile-skip only
+    elides WHOLE tiles; the wrappers zero the straddle remainder)."""
+    from xdeepfm_tpu.ops import ce_pallas
+
+    ce_pallas.set_interpret(True)
+    try:
+        rng = np.random.default_rng(11)
+        B, K, V, nv = 16, 6, 12, 3
+        h = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+        W = jnp.asarray(rng.normal(size=(K, V)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+        t = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+        ll = ce_pallas.fused_ce_rows(h, W, b, t, num_valid=nv)
+        np.testing.assert_allclose(np.asarray(ll[nv:]), 0.0)
+        assert (np.asarray(ll[:nv]) != 0.0).all()
+
+        def f(h, W, b):
+            # unmasked sum: cotangent 1.0 lands on skipped rows too
+            return jnp.sum(ce_pallas.fused_ce_rows(h, W, b, t, num_valid=nv))
+
+        dh, _, _ = jax.grad(f, argnums=(0, 1, 2))(h, W, b)
+        np.testing.assert_allclose(np.asarray(dh[nv:]), 0.0)
+        assert np.isfinite(np.asarray(dh)).all()
+
+        Ws = jnp.stack([W, W + 0.1])
+        bs = jnp.stack([b, b - 0.2])
+        ts = jnp.stack([t, (t + 1) % V])
+        lls = ce_pallas.fused_ce_rows_stacked(h, Ws, bs, ts, num_valid=nv)
+        np.testing.assert_allclose(np.asarray(lls[:, nv:]), 0.0)
+        assert (np.asarray(lls[:, :nv]) != 0.0).all()
+    finally:
+        ce_pallas.set_interpret(False)
+
+
 def test_ce_rows_pallas_all_rows_masked():
     """nv == 0 (no positive rows): loss is 0, gradients are finite zeros."""
     from xdeepfm_tpu.ops import ce_pallas

@@ -623,7 +623,16 @@ def fused_ce_rows_stacked(h, Ws, bs, targets, num_valid=None):
         targets.astype(jnp.int32), ((0, 0), (0, Bp - B))
     ).reshape(F, Bp, 1)
     ll = _ce_core_stacked((Bt, Vb), hp, Wp, bp, tp, _nv_arr(num_valid, B))
-    return ll[:, :B, 0]
+    ll = ll[:, :B, 0]
+    if num_valid is not None:
+        # the straddling batch tile computes real values for rows >=
+        # num_valid; zero them so the contract (ll == 0, no gradients for
+        # skipped rows) holds exactly regardless of the caller's masking
+        keep = (
+            jnp.arange(B) < jnp.asarray(num_valid, jnp.int32)
+        ).astype(ll.dtype)
+        ll = ll * keep[None, :]
+    return ll
 
 
 def fused_ce_rows(h, W, b, targets, num_valid=None):
@@ -648,7 +657,15 @@ def fused_ce_rows(h, W, b, targets, num_valid=None):
     ).reshape(1, Vp)
     tp = jnp.pad(targets.reshape(-1, 1).astype(jnp.int32), ((0, Bp - B), (0, 0)))
     ll = _ce_core((Bt, Vb), hp, Wp, bp, tp, _nv_arr(num_valid, B))
-    return ll[:B, 0]
+    ll = ll[:B, 0]
+    if num_valid is not None:
+        # see fused_ce_rows_stacked: make the skipped-row contract exact
+        # for the straddling batch tile too
+        keep = (
+            jnp.arange(B) < jnp.asarray(num_valid, jnp.int32)
+        ).astype(ll.dtype)
+        ll = ll * keep
+    return ll
 
 
 # ---------------------------------------------------------------------------

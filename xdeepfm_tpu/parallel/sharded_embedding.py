@@ -107,15 +107,19 @@ def _sizes_exchange(sizes, axis):
     return jax.lax.all_to_all(sizes[:, None], axis, 0, 0).reshape(-1)
 
 
-def _exchange_to_blocks(x, in_off, send_sizes, axis, E, cap):
+def _exchange_to_blocks(x, in_off, send_sizes, axis, E, cap,
+                        recv_sizes=None):
     """Send x[in_off[j] : in_off[j]+send_sizes[j]] to peer j.  Returns a
     [E*cap, ...] buffer in per-SENDER block layout (block i = rows from peer
-    i, valid prefix length = recv_sizes[i])."""
+    i, valid prefix length = recv_sizes[i]).  ``recv_sizes`` (the
+    _sizes_exchange of ``send_sizes``) may be passed in when the caller
+    already holds it, so back-to-back exchanges share ONE size collective."""
     out_shape = (E * cap,) + x.shape[1:]
     if _use_ragged():
         me = jax.lax.axis_index(axis)
         out_off = jnp.full((E,), me * cap, jnp.int32)
-        recv_sizes = _sizes_exchange(send_sizes, axis)
+        if recv_sizes is None:
+            recv_sizes = _sizes_exchange(send_sizes, axis)
         return jax.lax.ragged_all_to_all(
             x,
             jnp.zeros(out_shape, x.dtype),
@@ -134,14 +138,16 @@ def _exchange_to_blocks(x, in_off, send_sizes, axis, E, cap):
 
 
 def _exchange_from_blocks(blocks_flat, block_sizes, dest_off, out_len, axis,
-                          E, cap):
+                          E, cap, recv_sizes=None):
     """Reverse of :func:`_exchange_to_blocks`: send block j (valid prefix
     block_sizes[j], at offset j*cap) back to peer j, landing at dest_off[j] in
     the peer's compact [out_len, ...] buffer.  Receiver-side compact sizes are
-    the receiver's original send_sizes (implied by its dest offsets)."""
+    the receiver's original send_sizes (implied by its dest offsets) and may
+    be passed as ``recv_sizes`` to skip the size collective."""
     out_shape = (out_len,) + blocks_flat.shape[1:]
     if _use_ragged():
-        recv_sizes = _sizes_exchange(block_sizes, axis)
+        if recv_sizes is None:
+            recv_sizes = _sizes_exchange(block_sizes, axis)
         return jax.lax.ragged_all_to_all(
             blocks_flat,
             jnp.zeros(out_shape, blocks_flat.dtype),
@@ -168,6 +174,32 @@ def _exchange_from_blocks(blocks_flat, block_sizes, dest_off, out_len, axis,
     return recv[src_peer, within]
 
 
+def _dedup_route_layout(ids, E, S):
+    """Sort + dedup a flat id vector and derive its per-owner contiguous
+    send layout (owner = id // S is monotone in id, so sorting by id also
+    groups by owner).  Shared by the a2a lookup forward and the sharded lazy
+    row update — the exchange-layout conventions (padding id = E, compact
+    unique prefix) must stay bit-identical between them.
+
+    Returns (order, uniq_pos, uids, valid, send_sizes, in_off): ``order``
+    sorts the occurrence stream, ``uniq_pos`` maps sorted positions to
+    unique slots, ``uids`` holds the unique ids in its valid prefix."""
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = jnp.take(ids, order)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+    )
+    uniq_pos = jnp.cumsum(is_first) - 1  # sorted position -> unique slot
+    n_uniq = uniq_pos[-1] + 1
+    uids = jnp.zeros((n,), ids.dtype).at[uniq_pos].set(sids)
+    valid = jnp.arange(n) < n_uniq
+    owner = jnp.where(valid, uids // S, E)
+    send_sizes = jnp.bincount(owner, length=E + 1)[:E].astype(jnp.int32)
+    in_off = (jnp.cumsum(send_sizes) - send_sizes).astype(jnp.int32)
+    return order, uniq_pos, uids, valid, send_sizes, in_off
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _a2a_lookup_local(table_shard, ids_local, embed_axis, E, data_axis):
     out, _ = _a2a_fwd_core(table_shard, ids_local, embed_axis, E)
@@ -181,27 +213,17 @@ def _a2a_fwd_core(table_shard, ids_local, embed_axis, E):
     n = ids.shape[0]
     me = jax.lax.axis_index(embed_axis)
 
-    # 1. sort + dedup (owner = id // S is monotone in id, so sorting by id
-    #    also groups by owner)
-    order = jnp.argsort(ids)
-    sids = ids[order]
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+    # 1-2. sort + dedup + per-owner contiguous send layout
+    order, uniq_pos, uids, valid, send_sizes, in_off = _dedup_route_layout(
+        ids, E, S
     )
-    uniq_pos = jnp.cumsum(is_first) - 1  # sorted position -> unique slot
-    n_uniq = uniq_pos[-1] + 1
-    uids = jnp.zeros((n,), ids.dtype).at[uniq_pos].set(sids)
-    valid = jnp.arange(n) < n_uniq
-
-    # 2. per-owner send layout (contiguous, since uids is sorted)
-    owner = jnp.where(valid, uids // S, E)
-    send_sizes = jnp.bincount(owner, length=E + 1)[:E].astype(jnp.int32)
-    in_off = (jnp.cumsum(send_sizes) - send_sizes).astype(jnp.int32)
 
     # 3. ids travel to their owners (block layout on the owner side)
     cap = n
-    buf_ids = _exchange_to_blocks(uids, in_off, send_sizes, embed_axis, E, cap)
     recv_sizes = _sizes_exchange(send_sizes, embed_axis)
+    buf_ids = _exchange_to_blocks(
+        uids, in_off, send_sizes, embed_axis, E, cap, recv_sizes=recv_sizes
+    )
 
     # 4. owner gathers its rows
     local_idx = jnp.clip(buf_ids - me * S, 0, S - 1)
@@ -212,8 +234,10 @@ def _a2a_fwd_core(table_shard, ids_local, embed_axis, E):
     off_from = _sizes_exchange(in_off, embed_axis)  # where my block lands
     if _COMM_DTYPE is not None:
         rows_buf = rows_buf.astype(_COMM_DTYPE)
+    # (the reverse direction's received sizes are my original send_sizes)
     urows = _exchange_from_blocks(
-        rows_buf, recv_sizes, off_from, n, embed_axis, E, cap
+        rows_buf, recv_sizes, off_from, n, embed_axis, E, cap,
+        recv_sizes=send_sizes,
     ).astype(table_shard.dtype)
 
     # 6. expand unique rows to every occurrence and unsort
@@ -241,7 +265,8 @@ def _a2a_bwd(embed_axis, E, data_axis, res, g):
     if _COMM_DTYPE is not None:
         g_uniq = g_uniq.astype(_COMM_DTYPE)
     g_buf = _exchange_to_blocks(
-        g_uniq, in_off, send_sizes, embed_axis, E, cap
+        g_uniq, in_off, send_sizes, embed_axis, E, cap,
+        recv_sizes=recv_sizes,
     ).astype(g.dtype)
     # mask block padding, scatter-add into the table shard's cotangent
     block_valid = (
@@ -327,31 +352,25 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
         g_all = jax.lax.all_gather(g_loc, data_axis, tiled=True)
         n = ids_all.shape[0]
         D = g_all.shape[1]
-        # 2. dedup my slice of the occurrence stream
-        order = jnp.argsort(ids_all)
-        sids = jnp.take(ids_all, order)
-        g_sorted = jnp.take(g_all, order, axis=0)
-        is_first = jnp.concatenate(
-            [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+        # 2. dedup my slice of the occurrence stream + per-owner send layout
+        #    (shared with the a2a lookup forward)
+        order, uniq_pos, uids, valid, send_sizes, in_off = (
+            _dedup_route_layout(ids_all, E, S)
         )
-        uniq_pos = jnp.cumsum(is_first) - 1
-        n_uniq = uniq_pos[-1] + 1
-        uids = jnp.zeros((n,), sids.dtype).at[uniq_pos].set(sids)
+        g_sorted = jnp.take(g_all, order, axis=0)
         g_uniq = jnp.zeros((n, D), g_all.dtype).at[uniq_pos].add(g_sorted)
-        valid = jnp.arange(n) < n_uniq
-        # 3. route unique rows to owners (contiguous per-owner layout since
-        #    uids is sorted and owner = id // S is monotone)
-        owner = jnp.where(valid, uids // S, E)
-        send_sizes = jnp.bincount(owner, length=E + 1)[:E].astype(jnp.int32)
-        in_off = (jnp.cumsum(send_sizes) - send_sizes).astype(jnp.int32)
+        # 3. route unique rows to their owners — one size collective feeds
+        #    both block exchanges
         cap = n
+        recv_sizes = _sizes_exchange(send_sizes, embed_axis)
         buf_ids = _exchange_to_blocks(
-            uids, in_off, send_sizes, embed_axis, E, cap
+            uids, in_off, send_sizes, embed_axis, E, cap,
+            recv_sizes=recv_sizes,
         )
         buf_g = _exchange_to_blocks(
-            g_uniq, in_off, send_sizes, embed_axis, E, cap
+            g_uniq, in_off, send_sizes, embed_axis, E, cap,
+            recv_sizes=recv_sizes,
         )
-        recv_sizes = _sizes_exchange(send_sizes, embed_axis)
         block_valid = (
             jnp.arange(cap)[None, :] < recv_sizes[:, None]
         ).reshape(-1)

@@ -352,8 +352,11 @@ def sfg_loss_rows(
     # one [F, B] stack + a single masked matvec instead of F separate
     # mask-multiply-reduce passes (each tiny op pays fixed pass overhead on
     # TPU; the per-head loop measured ~0.5 ms of the Pro step, round-4 probe)
-    ll_sum = jnp.sum(jnp.stack(list(ll_rows.values()), axis=0), axis=0)
-    total_sparse = jnp.vdot(ll_sum, pos_mask) / num_positive
+    if ll_rows:
+        ll_sum = jnp.sum(jnp.stack(list(ll_rows.values()), axis=0), axis=0)
+        total_sparse = jnp.vdot(ll_sum, pos_mask) / num_positive
+    else:  # dense-only model: no sparse CE heads (matches sfg_loss)
+        total_sparse = jnp.zeros(())
     total_dense = jnp.zeros(())
     if dense_preds.shape[-1] > 0:
         mse = jnp.mean((dense_preds - dense_targets) ** 2, axis=-1)
