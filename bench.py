@@ -274,7 +274,7 @@ def child_main(state_path):
     # BENCH_MODELS (e.g. BENCH_MODELS=pro or BENCH_MODELS= for none).
     extras = [
         s for s in os.environ.get(
-            "BENCH_MODELS", "pro,attn,dien,serve"
+            "BENCH_MODELS", "pro,attn,dien,serve,attn2"
         ).split(",")
         if s
     ]
