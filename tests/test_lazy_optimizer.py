@@ -113,6 +113,31 @@ def test_gradient_split_matches_dense_grad_lazy():
         )
 
 
+def test_duplicate_feature_column_split_parity():
+    """A feature listed twice in the column list maps to ONE batch column
+    (the schema dedups names); table_touched_spec must dedup its entries the
+    same way or the gradient-split occurrence block desyncs from
+    _occ_layout's position map (regression test)."""
+    x, y, cols = _data()
+    cols_dup = list(cols) + [cols[0]]  # C0 appears twice
+    params = {}
+    for mode in ("dense", "split"):
+        m = DeepFM(cols_dup, cols_dup, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient=mode)
+        m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
+        params[mode] = jax.tree.map(np.asarray, m.params)
+    flat_d = jax.tree_util.tree_flatten_with_path(params["dense"])[0]
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(params["split"])[0])
+    for path, wd in flat_d:
+        # atol looser than the non-dup parity test: the duplicated use adds
+        # a second scatter-add whose fp32 accumulation order differs between
+        # the modes (~3e-7 after 16 adam steps, measured)
+        np.testing.assert_allclose(
+            wd, flat_s[path], rtol=2e-5, atol=2e-6, err_msg=str(path)
+        )
+
+
 def test_gradient_split_multi_dispatch():
     x, y, cols = _varlen_data()
     preds = {}

@@ -35,6 +35,25 @@ from .features import (
 from .nn.sequence import sequence_pool
 
 
+class MixedEmbeddingDims(ValueError):
+    """Raised by the stacked fast paths when the feature set spans more than
+    one table dim; ``fast_inputs`` catches exactly this to fall back to the
+    per-feature path (a blanket ValueError catch would swallow unrelated
+    tracing errors)."""
+
+
+def _batch_size(batch) -> int:
+    """Batch size from a typed batch dict's known array keys (the dict may
+    also carry non-array entries like the engine's '_compact' block map)."""
+    for key in ("sparse", "dense"):
+        if key in batch:
+            return batch[key].shape[0]
+    for key, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            return v.shape[0]
+    raise ValueError("cannot infer batch size from an empty batch dict")
+
+
 def _table_layout(feature_columns, linear: bool, force_dim=None):
     """Static layout: embedding_name -> (table_dim, row_offset); plus per-dim
     table total rows."""
@@ -177,7 +196,10 @@ class EmbeddingCollection(nn.Module):
         single ``take`` regardless of how many logical tables are involved.
         """
         dims = {self._offsets[f.embedding_name][0] for f in feats}
-        assert len(dims) == 1, "stacked_sparse requires uniform embedding dim"
+        if len(dims) != 1:
+            raise MixedEmbeddingDims(
+                "stacked_sparse requires a uniform embedding dim"
+            )
         dim = dims.pop()
         cols = np.array([self.schema.sparse_index(f.name) for f in feats])
         offs = np.array(
@@ -236,9 +258,13 @@ class EmbeddingCollection(nn.Module):
         sp, de, vl = split_columns(cols)
         if not support_dense and len(de) > 0:
             raise ValueError("DenseFeat is not supported in dnn_feature_columns")
-        dims = {1 if self.linear else f.embedding_dim for f in list(sp) + list(vl)}
+        # ACTUAL table dims (respects linear/force_dim overrides, unlike the
+        # feature-declared embedding_dim)
+        dims = {
+            self._offsets[f.embedding_name][0] for f in list(sp) + list(vl)
+        }
         if len(dims) > 1:
-            raise ValueError(
+            raise MixedEmbeddingDims(
                 "stacked_inputs requires a uniform embedding dim; use "
                 "embed_inputs for mixed-dim feature sets"
             )
@@ -275,7 +301,10 @@ class EmbeddingCollection(nn.Module):
             sparse_stack, dense = self.stacked_inputs(
                 batch, feature_columns, support_dense
             )
-        except ValueError:
+        except MixedEmbeddingDims:
+            # only the mixed-dim signal routes to the per-feature path —
+            # unrelated ValueErrors (malformed batches etc.) propagate from
+            # their true origin instead of silently re-tracing the slow path
             return self.embed_inputs(batch, feature_columns, support_dense)
         return (
             [] if sparse_stack is None else [sparse_stack],
@@ -302,14 +331,25 @@ def table_touched_spec(feature_columns, schema: FeatureSchema, linear: bool,
     offsets, _ = _table_layout(feature_columns, linear, force_dim)
     sp, _, vl = split_columns(feature_columns)
     spec: Dict[int, list] = {}
+    # duplicate columns (the schema dedups names, so a repeated feature maps
+    # to the SAME batch column) must yield one entry: touched_ids and
+    # _occ_layout both consume this list, and a double entry would desync
+    # the occurrence block from the layout's position map
+    seen = set()
     for f in sp:
         dim, off = offsets[f.embedding_name]
-        spec.setdefault(dim, []).append(
-            ("sparse", schema.sparse_index(f.name), off)
-        )
+        key = ("sparse", schema.sparse_index(f.name))
+        if (dim,) + key in seen:
+            continue
+        seen.add((dim,) + key)
+        spec.setdefault(dim, []).append(key + (off,))
     for f in vl:
         dim, off = offsets[f.embedding_name]
-        spec.setdefault(dim, []).append(("varlen", "vl_" + f.name, off))
+        key = ("varlen", "vl_" + f.name)
+        if (dim,) + key in seen:
+            continue
+        seen.add((dim,) + key)
+        spec.setdefault(dim, []).append(key + (off,))
     return spec
 
 
@@ -424,7 +464,6 @@ class LinearModel(nn.Module):
 
     def __call__(self, batch, sparse_feat_refine_weight=None):
         sp, de, vl = split_columns(self.feature_columns)
-        B = None
         sparse_embs = []
         if sp:
             sparse_embs.append(self.embedding.stacked_sparse(batch, sp)[:, :, 0])
@@ -448,8 +487,7 @@ class LinearModel(nn.Module):
             )
             logits.append(dense_vals @ self.weight)
         if not logits:
-            for v in batch.values():
-                return jnp.zeros((v.shape[0], 1))
+            return jnp.zeros((_batch_size(batch), 1))
         out = logits[0]
         for l in logits[1:]:
             out = out + l
@@ -509,8 +547,7 @@ class MultiLinearModel(nn.Module):
             )
             logits.append(dense_vals @ self.weight)
         if not logits:
-            for v in batch.values():
-                return jnp.zeros((v.shape[0], self.n_outputs))
+            return jnp.zeros((_batch_size(batch), self.n_outputs))
         out = logits[0]
         for l in logits[1:]:
             out = out + l

@@ -41,13 +41,21 @@ def _row_set(arr, ids, vals, sorted_ids=False):
 
 
 def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,
-                   eps=1e-8, sorted_ids=False):
+                   eps=1e-8, sorted_ids=False, p_rows=None):
     """Row-wise Adam on the touched rows only.  t is the 1-based step.
+
+    ``p_rows`` (optional): the CURRENT values of the touched rows in ``ids``
+    order.  Every caller already holds them (the gradient-split engine
+    gathered them for the forward; the reg gradient needs them too), and
+    XLA lowers a random row gather as a serialized per-index loop
+    (~117 ns/row) — passing them in removes a whole table walk per step.
 
     Returns ``(p_new, state_new, p_rows_new)`` — the third element is the
     updated row values in ``ids`` order, so callers (the gradient-split
     engine's incremental L2-reg tracker) can compute per-step deltas without
-    an extra serialized row gather."""
+    an extra serialized row gather.  Out-of-range padding ids (sharded
+    callers pad with id == rows) are DROPPED by the table writes; their
+    ``p_rows_new`` entries are clipped-row phantoms — do not consume them."""
     D = p.shape[1]
     mv_rows = state.at[ids].get(
         mode="clip", indices_are_sorted=sorted_ids
@@ -57,7 +65,8 @@ def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,
     t = t.astype(jnp.float32)
     mhat = m_rows / (1 - jnp.power(b1, t))
     vhat = v_rows / (1 - jnp.power(b2, t))
-    p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
+    if p_rows is None:
+        p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
     p_rows = p_rows - lr * mhat / (jnp.sqrt(vhat) + eps)
     return (
         _row_set(p, ids, p_rows, sorted_ids),
@@ -73,11 +82,13 @@ def lazy_adagrad_init(table):
 
 
 def lazy_adagrad_rows(p, state, ids, g_rows, t, lr=0.01, eps=1e-10,
-                      sorted_ids=False):
+                      sorted_ids=False, p_rows=None):
+    """See :func:`lazy_adam_rows` for the ``p_rows`` / padding-id contract."""
     acc_rows = state.at[ids].get(
         mode="clip", indices_are_sorted=sorted_ids
     ) + jnp.square(g_rows)
-    p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
+    if p_rows is None:
+        p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
     p_rows = p_rows - lr * g_rows / (jnp.sqrt(acc_rows) + eps)
     return (
         _row_set(p, ids, p_rows, sorted_ids),

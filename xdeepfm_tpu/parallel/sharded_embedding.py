@@ -384,20 +384,22 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
         from ..optimizers import segment_run_sums
 
         g_runs = segment_run_sums(gl, isf2)
-        # row-wise reg gradient, once per unique row (duplicate positions
-        # read the identical pre-update value, so writes stay identical)
-        if l2 > 0 or l1 > 0:
-            p_rows = table_shard.at[sl].get(
-                mode="clip", indices_are_sorted=True
-            )
-            if l2 > 0:
-                g_runs = g_runs + 2.0 * l2 * p_rows
-            if l1 > 0:
-                g_runs = g_runs + l1 * jnp.sign(p_rows)
+        # one row gather serves the reg gradient AND the update itself
+        # (row_update skips its internal table walk when p_rows is given);
+        # duplicate positions read the identical pre-update value, so
+        # writes stay identical.  Padding slots (id == S) clip to row S-1
+        # here but their table writes are dropped by the update.
+        p_rows = table_shard.at[sl].get(
+            mode="clip", indices_are_sorted=True
+        )
+        if l2 > 0:
+            g_runs = g_runs + 2.0 * l2 * p_rows
+        if l1 > 0:
+            g_runs = g_runs + l1 * jnp.sign(p_rows)
         # 5. shard-local nonlinear row update
         p_new, s_new, _ = row_update(
             table_shard, state_shard, sl, g_runs, step, lr=lr,
-            sorted_ids=True,
+            sorted_ids=True, p_rows=p_rows,
         )
         return p_new, s_new
 
