@@ -213,7 +213,13 @@ class EmbeddingCollection(nn.Module):
             pos = [lay["sparse"][int(c)] for c in cols]
             if pos == list(range(lay["n_sparse"])):
                 return occ_sp  # the common all-features case: a free reshape
-            return occ_sp[:, np.array(pos), :]
+            # subset/reorder: one-hot matmul instead of a static gather —
+            # a gather's backward is a serialized scatter-add (the block's
+            # contract is scatter-free), and duplicate positions accumulate
+            # correctly through the matmul transpose
+            sel = np.zeros((lay["n_sparse"], len(pos)), np.float32)
+            sel[np.array(pos), np.arange(len(pos))] = 1.0
+            return jnp.einsum("bnd,nf->bfd", occ_sp, jnp.asarray(sel))
         ids = batch["sparse"][:, cols] + offs[None, :]
         return jnp.take(self._tables[dim], ids, axis=0)  # [B, F, dim]
 
