@@ -53,3 +53,40 @@ def test_weights_only_roundtrip(tmp_path):
     m2, _, _ = _setup(seed=9)
     m2.load_weights(path)
     np.testing.assert_allclose(m2.predict(x, 64), p1, rtol=1e-6)
+
+
+def test_model_checkpoint_default_saves_full_and_load_weights_tolerant(tmp_path):
+    """ModelCheckpoint's default (save_weights_only=False) writes a FULL
+    checkpoint (the reference torch.saves the whole model); load_weights
+    still extracts weights from such a file."""
+    from xdeepfm_tpu.callbacks import ModelCheckpoint
+
+    m, x, y = _setup()
+    path = str(tmp_path / "full.ckpt")
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0,
+          callbacks=[ModelCheckpoint(filepath=path)])
+    p1 = m.predict(x, 64)
+    # full-resume consumer
+    m2, _, _ = _setup(seed=9)
+    m2.load_checkpoint(path)
+    np.testing.assert_allclose(m2.predict(x, 64), p1, rtol=1e-6)
+    # weights-only consumer of the same file
+    m3, _, _ = _setup(seed=11)
+    m3.load_weights(path)
+    np.testing.assert_allclose(m3.predict(x, 64), p1, rtol=1e-6)
+
+
+def test_callbacks_receive_params():
+    """fit() propagates set_params through CallbackList (keras contract)."""
+    from xdeepfm_tpu.callbacks import Callback
+
+    class Probe(Callback):
+        def on_train_begin(self, logs=None):
+            assert self.params is not None
+            assert self.params["epochs"] == 1
+            self.saw = self.params
+
+    m, x, y = _setup()
+    probe = Probe()
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0, callbacks=[probe])
+    assert probe.saw["steps"] == 4

@@ -153,3 +153,29 @@ def test_dynamic_gru_matches_cell_loop(rng, gru_type):
     np.testing.assert_allclose(
         np.asarray(outs), np.asarray(ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_dien_evolution_init_std_parity():
+    """The reference re-inits every interest_evolution WEIGHT to
+    normal(0, init_std) (dien.py:315-318) -- AGRU/AUGRU cells included --
+    while cell biases stay zero."""
+    import jax
+    import numpy as np
+
+    x, y, cols = make_seq_data(with_neg=True)
+    model = DIEN(cols, ["item"], gru_type="AUGRU", use_negsampling=True,
+                 dnn_hidden_units=(16,))
+    cells = [
+        (jax.tree_util.keystr(path), np.asarray(leaf))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(model.params)
+        if "rnn" in jax.tree_util.keystr(path)
+    ]
+    assert cells, "no AUGRU cell params found"
+    for name, w in cells:
+        if "weight" in name:
+            assert np.abs(w).max() < 0.01, (
+                f"{name} should init at normal(init_std~1e-4), got "
+                f"max {np.abs(w).max()}"
+            )
+        elif "bias" in name:
+            np.testing.assert_array_equal(w, 0.0)

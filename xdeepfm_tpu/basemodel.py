@@ -864,6 +864,11 @@ class BaseModel:
 
         callbacks = CallbackList((callbacks or []) + [self.history])
         callbacks.set_model(self)
+        callbacks.set_params({
+            "batch_size": batch_size, "epochs": epochs,
+            "steps": steps_per_epoch, "samples": n, "verbose": verbose,
+            "do_validation": bool(len(val_y)), "metrics": self.metrics_names,
+        })
         callbacks.on_train_begin()
         self.stop_training = False
 
@@ -1063,6 +1068,10 @@ class BaseModel:
 
         callbacks = CallbackList((callbacks or []) + [self.history])
         callbacks.set_model(self)
+        callbacks.set_params({
+            "epochs": epochs, "verbose": verbose,
+            "do_validation": do_validation, "metrics": self.metrics_names,
+        })
         callbacks.on_train_begin()
         self.stop_training = False
         if verbose > 0:
@@ -1294,7 +1303,18 @@ class BaseModel:
     def load_weights(self, path):
         with open(path, "rb") as f:
             data = f.read()
-        self.set_weights(flax.serialization.from_bytes(self.get_weights(), data))
+        try:
+            weights = flax.serialization.from_bytes(self.get_weights(), data)
+        except Exception:
+            # full-checkpoint file (ModelCheckpoint's default
+            # save_weights_only=False writes params + optimizer state):
+            # extract just the weight entries
+            state = flax.serialization.msgpack_restore(data)
+            weights = {
+                "params": state["params"],
+                "batch_stats": state.get("batch_stats") or {},
+            }
+        self.set_weights(weights)
 
     def save_checkpoint(self, path, epoch=0):
         """Full training checkpoint: params + batch_stats + OPTIMIZER STATE +

@@ -18,6 +18,7 @@ import numpy as np
 class Callback:
     def __init__(self):
         self.model = None
+        self.params = None  # filled by CallbackList.set_params from fit()
 
     def set_model(self, model):
         self.model = model
@@ -46,6 +47,11 @@ class CallbackList:
         self.model = model
         for c in self.callbacks:
             c.set_model(model)
+
+    def set_params(self, params):
+        self.params = params
+        for c in self.callbacks:
+            c.set_params(params)
 
     def on_train_begin(self, logs=None):
         for c in self.callbacks:
@@ -167,8 +173,13 @@ class EarlyStopping(Callback):
 
 
 class ModelCheckpoint(Callback):
-    """Save model weights on monitored-metric improvement
-    (reference: ``deepctr/callbacks.py:9-73``, torch.save -> save_weights)."""
+    """Save the model on monitored-metric improvement (reference:
+    ``deepctr/callbacks.py:9-73``).
+
+    ``save_weights_only=True`` writes weights only; ``False`` (default, the
+    reference's ``torch.save(self.model)`` analog) writes the FULL training
+    checkpoint — weights plus optimizer state — via ``model.save_checkpoint``
+    so training can resume exactly."""
 
     def __init__(
         self,
@@ -190,6 +201,12 @@ class ModelCheckpoint(Callback):
         self.epochs_since_last_save = 0
         self.monitor_op = _monitor_op(mode, monitor)
         self.best = -np.inf if self.monitor_op == np.greater else np.inf
+
+    def _save(self, filepath):
+        if self.save_weights_only or not hasattr(self.model, "save_checkpoint"):
+            self.model.save_weights(filepath)
+        else:
+            self.model.save_checkpoint(filepath)
 
     def on_epoch_end(self, epoch, logs=None):
         logs = logs or {}
@@ -214,7 +231,7 @@ class ModelCheckpoint(Callback):
                         % (epoch + 1, self.monitor, self.best, current, filepath)
                     )
                 self.best = current
-                self.model.save_weights(filepath)
+                self._save(filepath)
             else:
                 if self.verbose > 0:
                     print(
@@ -224,7 +241,7 @@ class ModelCheckpoint(Callback):
         else:
             if self.verbose > 0:
                 print("\nEpoch %05d: saving model to %s" % (epoch + 1, filepath))
-            self.model.save_weights(filepath)
+            self._save(filepath)
 
 
 class LogWriter(Callback):
@@ -280,3 +297,9 @@ class LogWriter(Callback):
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+    def __del__(self):  # fd-leak guard for writers never explicitly closed
+        try:
+            self.close()
+        except Exception:
+            pass

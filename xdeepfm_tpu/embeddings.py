@@ -459,7 +459,6 @@ class LinearModel(nn.Module):
             name="embedding_dict",
         )
         _, de, _ = split_columns(self.feature_columns)
-        self._dense_cols = tuple(de)
         dense_dim = sum(f.dimension for f in de)
         if dense_dim > 0:
             self.weight = self.param(

@@ -43,8 +43,7 @@ def roc_auc_score(y_true, y_score):
         raise ValueError(
             "Only one class present in y_true. ROC AUC score is not defined."
         )
-    order = np.argsort(y_score, kind="mergesort")
-    sorted_scores = y_score[order]
+    sorted_scores = np.sort(y_score, kind="mergesort")
     # average rank (1-based) per element, ties averaged
     lo = np.searchsorted(sorted_scores, y_score, side="left")
     hi = np.searchsorted(sorted_scores, y_score, side="right")
@@ -89,13 +88,14 @@ HOST_METRICS = {
 def batch_auc(y_true, y_score, mask):
     """Tie-aware AUC over the valid entries of a padded batch.
 
-    Padded entries get score=-1 (< any sigmoid output) and weight 0; they
-    inflate every valid rank by exactly n_pad, which cancels in the formula.
+    Padded entries get score=-inf (strictly below ANY finite prediction —
+    not just sigmoid outputs) and weight 0; they inflate every valid rank by
+    exactly n_pad, which cancels in the formula.
     """
     y_true = y_true.reshape(-1)
     y_score = y_score.reshape(-1)
     mask = mask.reshape(-1)
-    score = jnp.where(mask > 0, y_score, -1.0)
+    score = jnp.where(mask > 0, y_score, -jnp.inf)
     sorted_scores = jnp.sort(score)
     lo = jnp.searchsorted(sorted_scores, score, side="left")
     hi = jnp.searchsorted(sorted_scores, score, side="right")

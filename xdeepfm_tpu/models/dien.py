@@ -7,8 +7,12 @@ The reference compacts the batch with ``masked_select`` (rows with
 keys_length > 0) before packing sequences — a dynamic-shape op.  Here
 everything is computed statically over the full batch with masks; rows with
 length 0 produce exactly the reference's ``zero_outputs`` because the scan
-hidden state starts at 0 and never updates, and padded outputs are zeroed
-(matching ``pad_packed_sequence(padding_value=0.0)``).
+hidden state starts at 0 and never updates.  The extractor :class:`GRU`
+zeroes its padded outputs (matching ``pad_packed_sequence(padding_value=
+0.0)``); the evolution :class:`DynamicGRU` instead FREEZES the hidden state
+past each row's length, which is observationally identical here because only
+the last valid state is consumed (``outs_t[-1]`` — that is why the frozen
+convention exists; reference ``_get_last_state``).
 """
 
 from __future__ import annotations
@@ -121,7 +125,8 @@ class InterestEvolving(nn.Module):
         else:
             self.interest_evolution = DynamicGRU(
                 input_size=self.input_size, hidden_size=self.input_size,
-                gru_type=self.gru_type, name="interest_evolution",
+                gru_type=self.gru_type, init_std=self.init_std,
+                name="interest_evolution",
             )
 
     def __call__(self, query, keys_t, keys_length, training=False):

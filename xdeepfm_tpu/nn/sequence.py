@@ -9,7 +9,7 @@ each sequence's length), compiler-friendly control flow.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -151,7 +151,13 @@ def kmax_lastaxis(x, k):
     sees (the field axis, n <= a few dozen) k vectorized max passes are far
     cheaper, and the custom VJP scatters cotangents by the saved argmax
     indices instead of replaying the masking chain.  Iterative masking picks
-    the FIRST occurrence on ties, like a stable sort."""
+    the FIRST occurrence on ties, like a stable sort.
+
+    Precondition: inputs must be finite.  A row already containing -inf/NaN
+    can make successive argmax passes return the SAME index (masking an
+    -inf entry is a no-op), and the backward would then double-count that
+    position's cotangent.  In-repo consumers (CCPM's tanh feature maps) are
+    finite by construction."""
     return _kmax_iter(x, k)[0]
 
 
@@ -362,10 +368,19 @@ class _AttGRUCellBase(nn.Module):
     input_size: int
     hidden_size: int
     use_bias: bool = True
+    # the reference re-inits every interest_evolution WEIGHT to
+    # normal(0, init_std) after construction (``dien.py:315-318``) while the
+    # cells' explicit bias zeros survive; None keeps the raw torch-cell
+    # U(±1/sqrt(H)) default for standalone use
+    init_std: Optional[float] = None
 
     def setup(self):
         H = self.hidden_size
-        init = _gru_param_init(H)
+        init = (
+            nn.initializers.normal(stddev=self.init_std)
+            if self.init_std is not None
+            else _gru_param_init(H)
+        )
         self.weight_ih = self.param("weight_ih", init, (3 * H, self.input_size))
         self.weight_hh = self.param("weight_hh", init, (3 * H, H))
         if self.use_bias:
@@ -451,12 +466,15 @@ class DynamicGRU(nn.Module):
     hidden_size: int
     use_bias: bool = True
     gru_type: str = "AGRU"
+    init_std: Optional[float] = None  # see _AttGRUCellBase
 
     def setup(self):
         if self.gru_type == "AGRU":
-            self.rnn = AGRUCell(self.input_size, self.hidden_size, self.use_bias)
+            self.rnn = AGRUCell(self.input_size, self.hidden_size,
+                                self.use_bias, init_std=self.init_std)
         elif self.gru_type == "AUGRU":
-            self.rnn = AUGRUCell(self.input_size, self.hidden_size, self.use_bias)
+            self.rnn = AUGRUCell(self.input_size, self.hidden_size,
+                                 self.use_bias, init_std=self.init_std)
         else:
             raise NotImplementedError(self.gru_type)
 
