@@ -221,3 +221,93 @@ def test_prepare_features_coerce_dense(tmp_path):
     # base variant raises on the same frame
     with pytest.raises(ValueError):
         prepare_features(df, CRITEO_SPARSE, CRITEO_DENSE, fit_df=df)
+
+
+def test_encoder_dtype_flip_canonical_stringization():
+    """A NaN-bearing chunk promotes int64 -> float64; the same raw value
+    must encode identically ('123', not '123.0' -> unknown 0)."""
+    import pandas as pd
+
+    from xdeepfm_tpu.data import SafeLabelEncoder
+
+    enc = SafeLabelEncoder.fit(pd.Series([123, 456, 789], dtype="int64"))
+    out = enc.transform(pd.Series([123.0, np.nan, 789.0], dtype="float64"))
+    assert out.tolist() == [1, 0, 3]
+    # and the reverse direction: fit on a float column, transform ints
+    enc2 = SafeLabelEncoder.fit(pd.Series([1.0, 2.0, np.nan]))
+    assert enc2.transform(pd.Series([1, 2], dtype="int64")).tolist() == [1, 2]
+
+
+def test_train_test_split_int_count_with_stratify():
+    """An absolute-count test_size with stratify allocates proportionally
+    (sklearn semantics) instead of emptying the train split."""
+    import pandas as pd
+
+    from xdeepfm_tpu.data import train_test_split
+
+    df = pd.DataFrame({"a": range(100)})
+    labels = np.array([0] * 70 + [1] * 30)
+    tr, te = train_test_split(df, test_size=10, random_state=0,
+                              stratify=labels)
+    assert len(te) == 10 and len(tr) == 90
+    te_labels = labels[te.index]
+    assert (te_labels == 1).sum() == 3  # proportional per class
+
+
+def test_streaming_reader_39col_and_pinned_types(tmp_path):
+    """Headerless 39-column (unlabeled) files stream correctly, and sparse
+    columns stay strings even when the first block is all-digit (pyarrow
+    first-block type inference would abort on a later hex token)."""
+    from xdeepfm_tpu.data import (CRITEO_DENSE, CRITEO_SPARSE,
+                                  _criteo_chunk_reader,
+                                  fit_preprocessors_streaming,
+                                  iter_criteo_batches)
+
+    p39 = str(tmp_path / "t39.txt")
+    rows = ["\t".join([str(i % 7)] * 13 + [f"a{i % 5:02x}"] * 26)
+            for i in range(50)]
+    with open(p39, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    chunks = list(_criteo_chunk_reader(p39, 1000))
+    assert sum(len(c) for c in chunks) == 50
+    assert "label" not in chunks[0].columns
+    enc, scaler, stats = fit_preprocessors_streaming(
+        p39, CRITEO_SPARSE, CRITEO_DENSE
+    )
+    assert stats["n"] == 50 and stats["pos"] == 0
+    batches = list(iter_criteo_batches(
+        p39, CRITEO_SPARSE, CRITEO_DENSE, enc, scaler, batch_size=16,
+        with_label=False,
+    ))
+    assert sum(len(y) for _, y in batches) == 50
+
+    # digit-prefix then hex: pinned string type must survive the flip row
+    pflip = str(tmp_path / "flip.txt")
+    rows = ["\t".join(["1"] + ["0.5"] * 13 + ["123456"] * 26)
+            for _ in range(10)]
+    rows.append("\t".join(["0"] + ["0.5"] * 13 + ["a9d1b2"] * 26))
+    with open(pflip, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    total = sum(len(c) for c in _criteo_chunk_reader(pflip, 1000))
+    assert total == 11
+
+
+def test_streaming_coerce_dense(tmp_path):
+    """The pro variant's dirty-dense tolerance works in streaming mode."""
+    from xdeepfm_tpu.data import (CRITEO_DENSE, CRITEO_SPARSE,
+                                  fit_preprocessors_streaming,
+                                  iter_criteo_batches)
+
+    p = str(tmp_path / "dirty.txt")
+    rows = ["\t".join(["1"] + (["garbage"] if i == 0 else ["0.5"])
+                      + ["0.5"] * 12 + ["tok"] * 26) for i in range(5)]
+    with open(p, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    enc, scaler, _ = fit_preprocessors_streaming(
+        p, CRITEO_SPARSE, CRITEO_DENSE, coerce_dense=True
+    )
+    batches = list(iter_criteo_batches(
+        p, CRITEO_SPARSE, CRITEO_DENSE, enc, scaler, batch_size=4,
+        coerce_dense=True,
+    ))
+    assert sum(len(y) for _, y in batches) == 5

@@ -317,7 +317,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         print(f"[INFO] Streaming preprocessor fit over: {args.data_path}")
         encoders, scaler, stats = fit_preprocessors_streaming(
             args.data_path, sparse_features, dense_features,
-            chunksize=args.stream_chunksize,
+            chunksize=args.stream_chunksize, coerce_dense=coerce_dense,
         )
         if stats["label_nan"] > 0:
             print(
@@ -363,6 +363,7 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
             return iter_criteo_batches(
                 args.data_path, sparse_features, dense_features, encoders,
                 scaler, args.batch_size, chunksize=args.stream_chunksize,
+                coerce_dense=coerce_dense,
             )
 
         preprocess_payload = {
@@ -784,7 +785,7 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
         print(f"[INFO] Streaming preprocessor fit over: {args.data_path}")
         encoders, scaler, stats = fit_preprocessors_streaming(
             args.data_path, sparse_features, dense_features,
-            chunksize=args.stream_chunksize,
+            chunksize=args.stream_chunksize, coerce_dense=coerce_dense,
         )
         pos_ratio = stats["pos_ratio"]
         n_full = stats["n"]

@@ -107,7 +107,16 @@ def read_criteo_like(path: str, require_label: Optional[bool] = None):
     if df is None:
         df = _read_csv_fast(path, data_sep)
         if not all(c in df.columns for c in expected):
-            df = _read_csv_fast(path, data_sep, names=expected)
+            # a header that merely MISMATCHES (e.g. 'Label' capitalized)
+            # must not be ingested as a data row on the names= re-read
+            headerish = bool(
+                set(header_line.split(data_sep))
+                & {"label", "Label", "I1", "C1"}
+            )
+            df = _read_csv_fast(
+                path, data_sep, names=expected,
+                skiprows=1 if headerish else 0,
+            )
     if not has_label and "label" not in df.columns:
         df.insert(0, "label", 0)
     return df
@@ -127,10 +136,29 @@ class SafeLabelEncoder:
     unk: int = 0
 
     @staticmethod
+    def _as_str(series):
+        """Canonical string form: INTEGRAL floats render without the '.0'
+        suffix, so the same raw value encodes identically whether pandas
+        typed a chunk int64 or (because a null appeared in it) float64 —
+        otherwise a NaN-bearing transform chunk string-izes '123' as
+        '123.0' and every known value silently encodes to unknown 0."""
+        dt = getattr(series, "dtype", None)
+        if dt is not None and dt.kind == "f":
+            v = series.to_numpy()
+            integral = np.isfinite(v) & (np.floor(v) == v) & (np.abs(v) < 2**62)
+            s = series.astype(str).to_numpy(dtype=object)
+            if integral.any():
+                s[integral] = v[integral].astype(np.int64).astype(str)
+            import pandas as pd
+
+            return pd.Series(s, index=series.index)
+        return series.astype(str)
+
+    @staticmethod
     def fit(series) -> "SafeLabelEncoder":
         import pandas as pd
 
-        uniq = pd.Series(series.astype(str).unique())
+        uniq = pd.Series(SafeLabelEncoder._as_str(series).unique())
         mapping = {v: i + 1 for i, v in enumerate(uniq.tolist())}
         return SafeLabelEncoder(mapping=mapping, unk=0)
 
@@ -161,7 +189,7 @@ class SafeLabelEncoder:
                 and self._int_index is not None):
             codes = self._int_index.get_indexer(series)
         else:
-            codes = self._index.get_indexer(series.astype(str))
+            codes = self._index.get_indexer(self._as_str(series))
         out = codes.astype("int64") + 1
         if self.unk != 0:
             out = np.where(codes < 0, self.unk, out)
@@ -283,10 +311,13 @@ def train_test_split(df, test_size: float, random_state: int, stratify=None):
     n_test = int(round(n * test_size)) if test_size < 1 else int(test_size)
     if stratify is not None:
         labels = np.asarray(stratify)
+        # absolute counts become a per-class FRACTION (sklearn semantics:
+        # an int test_size with stratify still allocates proportionally)
+        frac = test_size if test_size < 1 else n_test / max(n, 1)
         test_idx = []
         for v in np.unique(labels):
             idx = np.flatnonzero(labels == v)
-            k = int(round(len(idx) * test_size))
+            k = int(round(len(idx) * frac))
             test_idx.append(rng.permutation(idx)[:k])
         test_idx = np.concatenate(test_idx)
     else:
@@ -305,6 +336,7 @@ def iter_criteo_batches(
     batch_size: int,
     chunksize: int = 200_000,
     with_label: bool = True,
+    coerce_dense: bool = False,
 ):
     """Stream a criteo-like file as exactly-``batch_size`` ``(x, y)`` batches
     without loading it into memory (out-of-core training via
@@ -316,7 +348,7 @@ def iter_criteo_batches(
     final batch may be shorter.  Separator handling mirrors
     :func:`read_criteo_like`.
     """
-    reader = _criteo_chunk_reader(path, chunksize)
+    reader = _criteo_chunk_reader(path, chunksize, coerce_dense=coerce_dense)
 
     feature_names = list(sparse_features) + list(dense_features)
     pend_x = {name: [] for name in feature_names}
@@ -341,7 +373,7 @@ def iter_criteo_batches(
     for chunk in reader:
         df, _, _ = prepare_features(
             chunk, sparse_features, dense_features,
-            encoders=encoders, scaler=scaler,
+            encoders=encoders, scaler=scaler, coerce_dense=coerce_dense,
         )
         for name in feature_names:
             pend_x[name].append(df[name].values)
@@ -469,12 +501,16 @@ def iter_criteo_batches_native(path: str, parser, scaler, batch_size: int,
                         buf_i[sel].copy())
 
 
-def _criteo_chunk_reader(path: str, chunksize: int):
+def _criteo_chunk_reader(path: str, chunksize: int,
+                         coerce_dense: bool = False):
     """Chunked criteo-like reader with :func:`read_criteo_like`'s separator
     handling (mixed header/data separators, headerless files).
 
     Uses pyarrow's streaming CSV reader when available (~6x pandas' C engine
-    on this host), falling back to pandas chunks."""
+    on this host), falling back to pandas chunks.  ``coerce_dense`` keeps
+    the dense columns as STRINGS at parse time (the pro variant tolerates
+    non-numeric garbage there — a float64-pinned parse would abort on it);
+    the downstream ``pd.to_numeric(errors='coerce')`` pass converts."""
     import pandas as pd
 
     with open(path, "r", encoding="utf-8", errors="ignore") as f:
@@ -485,9 +521,17 @@ def _criteo_chunk_reader(path: str, chunksize: int):
     header_cols = header_line.split(header_sep)
     has_header = all(c in header_cols for c in CRITEO_COLUMNS)
     mixed = has_header and header_sep != data_sep
-    names = None if (has_header and not mixed) else CRITEO_COLUMNS
+    if has_header and not mixed:
+        names = None
+    elif (not has_header
+          and len(data_line.split(data_sep)) == len(CRITEO_COLUMNS) - 1):
+        # headerless 39-column (unlabeled) file, like read_criteo_like
+        names = CRITEO_DENSE + CRITEO_SPARSE
+    else:
+        names = CRITEO_COLUMNS
 
     try:
+        import pyarrow as pa
         from pyarrow import csv as pacsv
 
         # ~64 bytes/field is a good row-size estimate for block sizing
@@ -500,8 +544,20 @@ def _criteo_chunk_reader(path: str, chunksize: int):
         )
         parse_opts = pacsv.ParseOptions(delimiter=data_sep)
         # empty string fields -> null (pandas read_csv semantics: NaN, so the
-        # downstream fillna("-1") sees them)
-        conv_opts = pacsv.ConvertOptions(strings_can_be_null=True)
+        # downstream fillna("-1") sees them).  Column types are PINNED:
+        # pyarrow otherwise infers from the first block only, so a hex
+        # category column whose first block is all-digits gets typed int64
+        # and a later alphabetic token aborts the stream mid-epoch (and
+        # int64<->float64 flips per block break encoder stringization).
+        dense_t = pa.string() if coerce_dense else pa.float64()
+        conv_opts = pacsv.ConvertOptions(
+            strings_can_be_null=True,
+            column_types={
+                **{c: pa.string() for c in CRITEO_SPARSE},
+                **{c: dense_t for c in CRITEO_DENSE},
+                "label": pa.float64(),
+            },
+        )
 
         def gen():
             with pacsv.open_csv(
@@ -520,10 +576,10 @@ def _criteo_chunk_reader(path: str, chunksize: int):
     if mixed:
         return pd.read_csv(
             path, sep=data_sep, skiprows=1, header=None,
-            names=CRITEO_COLUMNS, chunksize=chunksize,
+            names=names, chunksize=chunksize,
         )
     return pd.read_csv(
-        path, sep=data_sep, header=None, names=CRITEO_COLUMNS,
+        path, sep=data_sep, header=None, names=names,
         chunksize=chunksize,
     )
 
@@ -533,6 +589,7 @@ def fit_preprocessors_streaming(
     sparse_features: List[str],
     dense_features: List[str],
     chunksize: int = 200_000,
+    coerce_dense: bool = False,
 ):
     """One streaming pass fitting the preprocessors without loading the file:
     SafeLabelEncoder vocabularies (first-appearance order — identical to
@@ -550,12 +607,16 @@ def fit_preprocessors_streaming(
     n = 0
     pos = 0
     label_nan = 0
-    for chunk in _criteo_chunk_reader(path, chunksize):
+    for chunk in _criteo_chunk_reader(path, chunksize,
+                                      coerce_dense=coerce_dense):
         chunk[sparse_features] = chunk[sparse_features].fillna("-1")
+        if coerce_dense:  # pro-variant cleaning, like prepare_features
+            for feat in dense_features:
+                chunk[feat] = pd.to_numeric(chunk[feat], errors="coerce")
         chunk[dense_features] = chunk[dense_features].fillna(0)
         for feat in sparse_features:
             m = mappings[feat]
-            for v in pd.unique(chunk[feat].astype(str)):
+            for v in pd.unique(SafeLabelEncoder._as_str(chunk[feat])):
                 if v not in m:
                     m[v] = len(m) + 1
         X = chunk[dense_features].astype("float64").values
@@ -563,11 +624,11 @@ def fit_preprocessors_streaming(
         cmax = np.nanmax(X, axis=0)
         data_min = cmin if data_min is None else np.minimum(data_min, cmin)
         data_max = cmax if data_max is None else np.maximum(data_max, cmax)
-        labels = pd.to_numeric(chunk["label"], errors="coerce")
-        label_nan += int(labels.isna().sum())
-        labels = labels.fillna(0)
+        if "label" in chunk.columns:
+            labels = pd.to_numeric(chunk["label"], errors="coerce")
+            label_nan += int(labels.isna().sum())
+            pos += int((labels.fillna(0) == 1).sum())
         n += len(chunk)
-        pos += int((labels == 1).sum())
     encoders = {
         feat: SafeLabelEncoder(mapping=mappings[feat])
         for feat in sparse_features

@@ -200,6 +200,12 @@ class FeatureSchema:
             break
         if n is None:
             raise ValueError("empty input dict")
+        for name in self.feature_names():
+            if name in x and len(x[name]) != n:
+                raise ValueError(
+                    "inconsistent input lengths: feature %r has %d rows, "
+                    "expected %d" % (name, len(x[name]), n)
+                )
         batch: Dict[str, np.ndarray] = {}
         if self.sparse:
             cols = []

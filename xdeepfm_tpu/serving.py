@@ -27,33 +27,43 @@ class Scorer:
         self.model = model
         self.batch_size = batch_size
         module = model.module
-        params = model.params
-        batch_stats = model.batch_stats
 
+        # read model.params/batch_stats LIVE at every call: weights loaded
+        # or trained after Scorer construction must not be silently ignored
         if getattr(model, "_compiled", None):
             # the engine's jitted predict step includes the fused table
             # lookup (compile(fused_lookup=...)) — reuse it.
             self._fn = lambda batch: model._predict_step(
-                params, batch_stats, batch
+                model.params, model.batch_stats, batch
             )
         else:
 
-            def score_fn(batch):
+            @jax.jit
+            def score_fn(params, batch_stats, batch):
                 variables = {"params": params}
                 if batch_stats:
                     variables["batch_stats"] = batch_stats
                 return module.apply(variables, batch, training=False)["pred"]
 
-            self._fn = jax.jit(score_fn)
+            self._fn = lambda batch: score_fn(
+                model.params, model.batch_stats, batch
+            )
 
     def warmup(self):
+        # warm with the SAME batch pytree score() dispatches: schema.pack
+        # output has no labels/sample_mask keys, and a different treedef
+        # would compile a program the first real request never reuses
         dummy = self.model._dummy_batch(self.batch_size)
+        dummy.pop("labels", None)
+        dummy.pop("sample_mask", None)
         self._fn({k: jnp.asarray(v) for k, v in dummy.items()})
         return self
 
     def score(self, x: Dict[str, np.ndarray]) -> np.ndarray:
         batch = self.model._pack_x(x)
-        n = len(next(iter(batch.values())))
+        n = len(next(iter(batch.values()), np.zeros((0,))))
+        if n == 0:
+            return np.zeros((0, 1), dtype="float64")
         out = []
         for start in range(0, n, self.batch_size):
             stop = min(start + self.batch_size, n)
