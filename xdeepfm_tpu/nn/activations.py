@@ -28,6 +28,11 @@ class Dice(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         assert self.dim in (2, 3)
+        if x.ndim != self.dim:  # fail fast like the reference's dim assert
+            raise ValueError(
+                f"Dice(dim={self.dim}) expects rank-{self.dim} input, "
+                f"got rank {x.ndim}"
+            )
         alpha_shape = (self.emb_size,) if self.dim == 2 else (self.emb_size, 1)
         alpha = self.param("alpha", nn.initializers.zeros, alpha_shape)
         if self.dim == 2:

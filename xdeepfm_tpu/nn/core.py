@@ -223,7 +223,13 @@ class Conv2dSame(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # reference init parity: explicit xavier_uniform_ weights
+        # (core.py:172) + torch Conv2d's default U(±1/sqrt(fan_in)) bias
+        kh, kw = self.kernel_size
+        fan_in = x.shape[-1] * kh * kw
         return nn.Conv(
             self.features, self.kernel_size, strides=self.strides,
             padding="SAME",
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=torch_bias_init(fan_in),
         )(x)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cin import cin_layer_contract, cin_rows_contract
+from ..ops.cin import cin_rows_contract
 from .activations import apply_activation, make_activation
 from .core import torch_bias_init, torch_linear_init
 from .sequence import KMaxPooling
@@ -276,7 +276,8 @@ class CIN(nn.Module):
     sum(layer_size[:-1])//2 + layer_size[-1] when split_half else sum(layer_size).
 
     The per-layer contraction dispatches through
-    :func:`xdeepfm_tpu.ops.cin.cin_layer_contract` (XLA / fused / Pallas).
+    :func:`xdeepfm_tpu.ops.cin.cin_rows_contract` (XLA / fused / Pallas; the
+    stack runs row-major [B*D, F] between layers).
     """
 
     field_size: int
@@ -477,12 +478,15 @@ class CrossNetMix(nn.Module):
     @nn.compact
     def __call__(self, inputs, training: bool = False):
         d, r, K, L = self.in_features, self.low_rank, self.num_experts, self.layer_num
-        glorot = nn.initializers.glorot_normal()
 
         def layer_init(key, shape, dtype=jnp.float32):
-            # per-layer xavier over the [K, a, b] slice (torch inits para[i]).
-            keys = jax.random.split(key, shape[0])
-            return jnp.stack([glorot(k, shape[1:], dtype) for k in keys])
+            # torch xavier_normal_ on the whole 3D [K, a, b] layer slice
+            # (reference interaction.py:489-492): torch's 3D fans are
+            # fan_in = a*b, fan_out = K*b — NOT K independent 2D draws
+            # (per-slice glorot measured 4-5.5x larger std at DCN-Mix shapes)
+            K_, a, b = shape
+            std = (2.0 / (a * b + K_ * b)) ** 0.5
+            return jax.random.normal(key, shape, dtype) * std
 
         U = self.param("U_list", _stacked_init(layer_init, L), (L, K, d, r))
         V = self.param("V_list", _stacked_init(layer_init, L), (L, K, d, r))
@@ -527,7 +531,11 @@ class InnerProductLayer(nn.Module):
                 _pair_select(xT, row, F_) * _pair_select(xT, col, F_), axis=0
             )  # [P, B]
             return jnp.transpose(innerT)[:, :, None]
-        return inputs[:, row, :] * inputs[:, col, :]
+        # one-hot pair selection here too: a static fancy-index gather's
+        # backward is a serialized per-slice scatter-add on TPU
+        xT = jnp.transpose(inputs, (2, 1, 0))
+        prodT = _pair_select(xT, row, F_) * _pair_select(xT, col, F_)
+        return jnp.transpose(prodT, (2, 1, 0))  # [B, P, E]
 
 
 class OutterProductLayer(nn.Module):
@@ -614,6 +622,9 @@ class ConvLayer(nn.Module):
                 strides=(1, 1),
                 padding="SAME",
                 kernel_init=nn.initializers.glorot_uniform(),
+                # torch Conv2d default bias U(±1/sqrt(in_ch*kh*kw)) — the
+                # reference keeps it (only the weight is re-inited)
+                bias_init=torch_bias_init(x.shape[-1] * width * 1),
                 name=f"conv_{i}",
             )(x)
             x = jnp.tanh(x)
