@@ -428,3 +428,53 @@ def test_ce_rows_pallas_all_rows_masked():
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
     finally:
         ce_pallas.set_interpret(False)
+
+
+def test_pro_varlen_and_multidim_dense():
+    """SFG + label attention must handle varlen-pooled fields in the decoder
+    input (gate width = full field count) and multi-dim DenseFeats (dense
+    head reconstructs the full dense WIDTH) — both crashed at init before
+    round 4's width fixes."""
+    from xdeepfm_tpu.features import (DenseFeat, SparseFeat,
+                                      VarLenSparseFeat)
+    from xdeepfm_tpu.pro import xDeepFMPro
+
+    rng = np.random.default_rng(3)
+    n, vocab, maxlen = 64, 20, 4
+    lengths = rng.integers(1, maxlen + 1, n)
+    seq_mask = np.arange(maxlen)[None, :] < lengths[:, None]
+    x = {
+        "C0": rng.integers(0, vocab, n),
+        "item": rng.integers(0, vocab, n),
+        "I0": rng.uniform(0, 1, (n, 2)).astype(np.float32),
+        "hist": (rng.integers(1, vocab, (n, maxlen)) * seq_mask).astype(
+            np.int64
+        ),
+        "len": lengths.astype(np.int64),
+    }
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [
+        SparseFeat("C0", vocab, embedding_dim=4),
+        SparseFeat("item", vocab, embedding_dim=4),
+        DenseFeat("I0", 2),
+        VarLenSparseFeat(
+            SparseFeat("hist", vocab, embedding_dim=4,
+                       embedding_name="item"),
+            maxlen=maxlen, length_name="len",
+        ),
+    ]
+    m = xDeepFMPro(cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4,),
+                   sfg_hidden_units=(8,))
+    m.compile("adam", "binary_crossentropy", metrics=[])
+    hist = m.fit(x, y, batch_size=32, epochs=1, verbose=0)
+    assert np.isfinite(hist.history["loss"][-1])
+    assert m.predict(x, 32).shape == (n, 1)
+
+
+def test_pro_autodis_multidim_dense_rejected():
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+    from xdeepfm_tpu.pro import xDeepFMPro
+
+    cols = [SparseFeat("C0", 10, embedding_dim=4), DenseFeat("I0", 2)]
+    with pytest.raises(ValueError, match="AutoDis"):
+        xDeepFMPro(cols, cols, use_autodis=True)

@@ -71,7 +71,7 @@ class LayerNormT(nn.Module):
     so the fused block can read the weights directly."""
 
     features: int
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5  # torch nn.LayerNorm default (reference parity)
 
     def setup(self):
         self.scale = self.param(
@@ -203,7 +203,7 @@ class AttentionPooling(nn.Module):
 
 
 def _fused_block_apply(x_t, mhsas, layer_norms, pooling, num_heads,
-                      use_residual, use_layer_norm, training):
+                      use_residual, use_layer_norm):
     """Run the fused attention-block kernel over transposed CIN output.
 
     ``mhsas``/``layer_norms``: per-layer module lists (len L).  Returns the
@@ -241,7 +241,7 @@ def _fused_block_apply(x_t, mhsas, layer_norms, pooling, num_heads,
         return jnp.zeros((B, E), x_t.dtype)
     cfg = abp.BlockCfg(
         layers=L, heads=heads, scale=1.0 / math.sqrt(dh),
-        use_residual=use_residual, use_layer_norm=use_layer_norm, eps=1e-6,
+        use_residual=use_residual, use_layer_norm=use_layer_norm, eps=1e-5,
     )
     return abp.attn_block(
         cfg, x_t, wq, wk, wv, wo, gamma, beta, w1,
@@ -320,7 +320,7 @@ class CINAttention(nn.Module):
                 result, [self.mhsa],
                 [self.layer_norm] if self.use_layer_norm else [],
                 self.attn_pooling, self.num_heads, self.use_residual,
-                self.use_layer_norm, training,
+                self.use_layer_norm,
             )
         if pooled is None:
             attn_output = self.mhsa(result, training=training, transposed=True)
@@ -402,7 +402,7 @@ class CINAttentionV2(nn.Module):
                 result, [self.mhsa_layers[0]],
                 [self.layer_norms[0]] if self.use_layer_norm else [],
                 self.attn_pooling, self.num_heads, self.use_residual,
-                self.use_layer_norm, training,
+                self.use_layer_norm,
             )
             if pooled is not None:
                 return pooled

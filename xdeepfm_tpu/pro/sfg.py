@@ -7,7 +7,7 @@ mechanism (SURVEY.md §0).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -84,10 +84,15 @@ class SFGDecoder(nn.Module):
 
     embedding_dim: int
     sparse_vocab_sizes: Tuple[Tuple[str, int], ...]  # ordered (name, vocab)
-    num_dense: int
+    num_dense: int  # dense WIDTH (sum of DenseFeat dimensions), not count
     hidden_units: Tuple[int, ...] = (128, 64)
     dropout_rate: float = 0.1
     use_label_aware_attention: bool = True
+    # fields in the incoming embedding stack; defaults to the decoded sparse
+    # features, but callers feeding varlen-pooled embeddings too (the pro
+    # model's stacked_inputs) pass the full count so the label-attention
+    # gate width matches the actual decoder input
+    num_fields: Optional[int] = None
 
     def setup(self):
         if self.use_label_aware_attention:
@@ -130,9 +135,12 @@ class SFGDecoder(nn.Module):
             )
 
     def _input_dim(self):
-        return (
-            len(self.sparse_vocab_sizes) * self.embedding_dim + self.num_dense
+        fields = (
+            self.num_fields
+            if self.num_fields is not None
+            else len(self.sparse_vocab_sizes)
         )
+        return fields * self.embedding_dim + self.num_dense
 
     def hidden(self, sparse_embeddings, dense_values, labels=None,
                training: bool = False):

@@ -83,6 +83,12 @@ class XDeepFMProModule(nn.Module):
         self.use_cin = len(self.cin_layer_size) > 0 and len(self.dnn_cols) > 0
 
         dense_dim = sum(f.dimension for f in de)
+        if self.use_autodis and any(f.dimension != 1 for f in de):
+            raise ValueError(
+                "AutoDis bucketizes SCALAR dense features; DenseFeat with "
+                "dimension > 1 is not supported with use_autodis=True "
+                "(reference autodis.py has the same per-value assumption)"
+            )
         if self.use_autodis and len(de) > 0:
             self.autodis_encoder = DenseFeatureEncoder(
                 num_features=len(de),
@@ -130,13 +136,23 @@ class XDeepFMProModule(nn.Module):
                 1, use_bias=False, kernel_init=torch_linear_init,
                 name="cin_linear",
             )
+        if (self.use_cin or self.use_sfg) and len(sp) + len(vl) == 0:
+            raise ValueError(
+                "xDeepFMPro needs at least one sparse/varlen feature in "
+                "dnn_feature_columns: CIN and the SFG decoder operate on "
+                "the embedding stack"
+            )
         if self.use_sfg:
             self.sfg_decoder = SFGDecoder(
                 embedding_dim=self.embedding_dim,
                 sparse_vocab_sizes=tuple(
                     (f.name, f.vocabulary_size) for f in sp
                 ),
-                num_dense=len(de),
+                # dense WIDTH (the regression head reconstructs every dense
+                # component) and the FULL field count (the decoder input
+                # stack includes varlen-pooled embeddings)
+                num_dense=dense_dim,
+                num_fields=len(sp) + len(vl),
                 hidden_units=self.sfg_hidden_units,
                 dropout_rate=self.sfg_dropout,
                 use_label_aware_attention=self.sfg_use_label_attention,
@@ -172,12 +188,7 @@ class XDeepFMProModule(nn.Module):
             for f in self._sparse_cols:
                 idx = self.schema.sparse_index(f.name)
                 sparse_targets[f.name] = batch["sparse"][:, idx]
-            dense_targets = (
-                dense_vals
-                if dense_vals is not None
-                else jnp.zeros((sparse_stack.shape[0], 0))
-            )
-            dv = (
+            dense_targets = dv = (
                 dense_vals
                 if dense_vals is not None
                 else jnp.zeros((sparse_stack.shape[0], 0))
