@@ -867,7 +867,7 @@ class BaseModel:
         callbacks.set_params({
             "batch_size": batch_size, "epochs": epochs,
             "steps": steps_per_epoch, "samples": n, "verbose": verbose,
-            "do_validation": bool(len(val_y)), "metrics": self.metrics_names,
+            "do_validation": do_validation, "metrics": self.metrics_names,
         })
         callbacks.on_train_begin()
         self.stop_training = False
@@ -1070,6 +1070,9 @@ class BaseModel:
         callbacks.set_model(self)
         callbacks.set_params({
             "epochs": epochs, "verbose": verbose,
+            # keras convention: steps present but None when the stream
+            # length is unknown up front
+            "steps": steps_per_epoch,
             "do_validation": do_validation, "metrics": self.metrics_names,
         })
         callbacks.on_train_begin()
@@ -1306,10 +1309,14 @@ class BaseModel:
         try:
             weights = flax.serialization.from_bytes(self.get_weights(), data)
         except Exception:
-            # full-checkpoint file (ModelCheckpoint's default
-            # save_weights_only=False writes params + optimizer state):
-            # extract just the weight entries
+            # only fall back for actual full-checkpoint files
+            # (ModelCheckpoint's default save_weights_only=False writes
+            # params + optimizer state); anything else — e.g. a weights file
+            # from a different architecture — must surface its real error,
+            # not get installed unvalidated
             state = flax.serialization.msgpack_restore(data)
+            if "opt_state" not in state or "params" not in state:
+                raise
             weights = {
                 "params": state["params"],
                 "batch_stats": state.get("batch_stats") or {},

@@ -331,6 +331,13 @@ def run_eval(args, build_model, model_name="xdeepfm", extra_config=None):
         )
         eval_df, _ = _load_labeled(args.eval_path, "Eval",
                                    require_label=require_label)
+        if coerce_dense:
+            # pro-variant cleaning BEFORE extend_preprocessors' astype —
+            # the bulk path coerces inside prepare_features
+            import pandas as pd
+
+            for feat in dense_features:
+                eval_df[feat] = pd.to_numeric(eval_df[feat], errors="coerce")
         # encoders fit on train+eval combined, as in the bulk path
         # (xdftrain.py:372-383)
         extend_preprocessors(
@@ -818,6 +825,7 @@ def run_final(args, build_model, model_name="xdeepfm", extra_config=None):
             lambda epoch: iter_criteo_batches(
                 args.data_path, sparse_features, dense_features, encoders,
                 scaler, args.batch_size, chunksize=args.stream_chunksize,
+                coerce_dense=coerce_dense,
             ),
             epochs=args.epochs, verbose=args.verbose, callbacks=callbacks,
             steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
