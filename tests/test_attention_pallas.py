@@ -226,3 +226,36 @@ def test_fused_attn_block_matches_xla(rng, cls_name, kw):
             np.asarray(vf), np.asarray(vr), rtol=1e-3, atol=1e-5,
             err_msg=jax.tree_util.keystr(kr),
         )
+
+
+def test_pick_bt_sublane_alignment_and_padding():
+    """The pair tile rides the SUBLANE axis (multiple of 8 required); the
+    entry points pad G to 8, and padded rows are exact zeros."""
+    import jax
+    import numpy as np
+
+    from xdeepfm_tpu.ops import attention_pallas as ap
+
+    for G in (8, 16, 1000, 4096, 8192):
+        bt = ap._pick_bt(G, 256)
+        assert bt % 8 == 0 and G % bt == 0, (G, bt)
+
+    ap.set_interpret(True)
+    try:
+        rng = np.random.default_rng(0)
+        G, dh, S = 5, 4, 16  # G not a multiple of 8 -> padded inside
+        q = jnp.asarray(rng.normal(size=(G, dh, S)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(G, dh, S)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(G, dh, S)).astype(np.float32))
+        out = ap._sa_padded(q, k, v, 0.5)
+        assert out.shape == (G, dh, S)
+        # reference softmax attention
+        s = np.einsum("gds,gdt->gst", np.asarray(q), np.asarray(k)) * 0.5
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("gst,gdt->gds", p, np.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+        g = jax.grad(lambda q: jnp.sum(ap._sa_padded(q, k, v, 0.5) ** 2))(q)
+        assert np.isfinite(np.asarray(g)).all()
+    finally:
+        ap.set_interpret(False)

@@ -94,3 +94,15 @@ def test_gru_module_kernel_grads_match_scan():
     flat_k, _ = jax.tree_util.tree_flatten(g_k)
     for a, b in zip(flat_k, flat_s):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_pick_bt_lane_alignment():
+    """The batch tile rides the LANE axis: it must be a multiple of 128 or
+    the whole axis (Mosaic rule interpret mode cannot check) — odd batch
+    sizes must fall back to a whole-axis block, never a sub-128 divisor."""
+    from xdeepfm_tpu.ops.gru_pallas import _pick_bt
+
+    for B in (8, 24, 192, 320, 500, 4096, 1000):
+        bt = _pick_bt(B)
+        assert bt % 128 == 0 or bt == B, (B, bt)
+        assert B % bt == 0, (B, bt)

@@ -147,12 +147,38 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, o_ref, m_ref, z_ref,
 
 def _pick_bt(G, S):
     # per-pair live [S, S] fp32 temporaries; keep the unrolled tile around
-    # a few MB of VMEM
+    # a few MB of VMEM.  Bt sits on the SUBLANE axis of the [Bt, S] stat
+    # blocks, so it must be a multiple of 8 (Mosaic rule; entry points pad
+    # G to a multiple of 8 — see _sa_padded)
     budget = max(1, (6 * 1024 * 1024) // (S * S * 4))
-    bt = min(16, budget)
-    while G % bt:
-        bt -= 1
-    return bt
+    bt = max(8, min(16, budget) // 8 * 8)
+    while bt >= 8 and G % bt:
+        bt -= 8
+    if bt >= 8:
+        return bt
+    # no 8-aligned divisor: a whole-axis block (Bt == G) is also legal.
+    # Only small G should land here — the packed entry points pad G to a
+    # multiple of 8 (_sa_padded), so a large unaligned G means a direct
+    # small_attention caller skipped the padding (the per-pair [S, S]
+    # temporaries would then blow the VMEM limit at compile).
+    return G
+
+
+def _sa_padded(q, k, v, scale):
+    """small_attention with the (row, head) axis padded to a multiple of 8.
+
+    Zero padded rows are exact: their outputs are zeros (uniform softmax
+    over zero scores applied to zero values), the output slice drops them,
+    and the slice's VJP feeds the kernel zero cotangents for them."""
+    G = q.shape[0]
+    Gp = -(-G // 8) * 8
+    if Gp != G:
+        pad = ((0, Gp - G), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    out = small_attention(q, k, v, scale)
+    return out[:G] if Gp != G else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -240,15 +266,21 @@ def mhsa_attention_packed(Q, K, V, scale, heads, backend: str = "auto"):
     dh = E // heads
     be = _MHSA_BACKEND if backend == "auto" else backend
     if be == "auto":
-        try:
-            be = (
-                "pallas"
-                if jax.default_backend() == "tpu" and len(jax.devices()) == 1
-                else "xla"
-            )
-        except Exception:
-            be = "xla"
-    if be == "pallas" or _INTERPRET:
+        # interpret mode flips only the AUTO case: an explicit 'xla'
+        # selection stays XLA so kernel-vs-XLA A/B tests compare two paths
+        if _INTERPRET:
+            be = "pallas"
+        else:
+            try:
+                be = (
+                    "pallas"
+                    if jax.default_backend() == "tpu"
+                    and len(jax.devices()) == 1
+                    else "xla"
+                )
+            except Exception:
+                be = "xla"
+    if be == "pallas":
         # dh-major [G, dh, S] kernel operands: compact in HBM (S on lanes)
         perm = lambda x: (
             x.reshape(B, S, heads, dh)
@@ -256,7 +288,7 @@ def mhsa_attention_packed(Q, K, V, scale, heads, backend: str = "auto"):
             .reshape(B * heads, dh, S)
             .astype(jnp.float32)
         )
-        out = small_attention(perm(Q), perm(K), perm(V), float(scale))
+        out = _sa_padded(perm(Q), perm(K), perm(V), float(scale))
         return (
             out.reshape(B, heads, dh, S)
             .transpose(0, 3, 1, 2)
@@ -279,17 +311,23 @@ def mhsa_attention_packed_t(Q, K, V, scale, heads, backend: str = "auto"):
     dh = E // heads
     be = _MHSA_BACKEND if backend == "auto" else backend
     if be == "auto":
-        try:
-            be = (
-                "pallas"
-                if jax.default_backend() == "tpu" and len(jax.devices()) == 1
-                else "xla"
-            )
-        except Exception:
-            be = "xla"
-    if be == "pallas" or _INTERPRET:
+        # interpret mode flips only the AUTO case: an explicit 'xla'
+        # selection stays XLA so kernel-vs-XLA A/B tests compare two paths
+        if _INTERPRET:
+            be = "pallas"
+        else:
+            try:
+                be = (
+                    "pallas"
+                    if jax.default_backend() == "tpu"
+                    and len(jax.devices()) == 1
+                    else "xla"
+                )
+            except Exception:
+                be = "xla"
+    if be == "pallas":
         perm = lambda x: x.reshape(B * heads, dh, S).astype(jnp.float32)
-        out = small_attention(perm(Q), perm(K), perm(V), float(scale))
+        out = _sa_padded(perm(Q), perm(K), perm(V), float(scale))
         return out.reshape(B, E, S)
     Qr = Q.reshape(B, heads, dh, S)
     Kr = K.reshape(B, heads, dh, S)

@@ -61,9 +61,11 @@ def set_backend(name: str):
 
 
 def use_pallas() -> bool:
+    be = _BACKEND
+    if be == "xla":  # explicit XLA beats interpret (A/B tests need 2 paths)
+        return False
     if _INTERPRET:
         return True
-    be = _BACKEND
     if be == "auto":
         try:
             return (
@@ -189,10 +191,13 @@ def _bwd_kernel(gi_ref, w_ref, b_ref, att_ref, valid_ref, h0_ref, g_ref,
 
 
 def _pick_bt(B):
-    for bt in (512, 256, 128, 64, 32, 16, 8):
+    # Bt sits on the LANE (minor) axis of every block: Mosaic requires it
+    # to be a multiple of 128 or the whole axis (CLAUDE.md round-3 rule) —
+    # sub-128 divisors compile in interpret mode but fail on real TPU
+    for bt in (512, 256, 128):
         if B % bt == 0 and bt <= B:
             return bt
-    return B
+    return B  # whole-axis block; fits_vmem gates the fallback
 
 
 def fits_vmem(T: int, H: int, B: int) -> bool:
@@ -213,13 +218,28 @@ def fits_vmem(T: int, H: int, B: int) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def gru_scan(cell, gi, w, b, att, valid, h0):
-    """Run the full recurrence; returns outs [T, H, B] (frozen past length).
-
-    cell in ('gru', 'agru', 'augru').  See module docstring for layouts.
-    """
+def _gru_scan_f32(cell, gi, w, b, att, valid, h0):
     out, _ = _gs_fwd(cell, gi, w, b, att, valid, h0)
     return out
+
+
+def gru_scan(cell, gi, w, b, att, valid, h0):
+    """Run the full recurrence; returns outs [T, H, B] (frozen past length)
+    in the input dtype.
+
+    cell in ('gru', 'agru', 'augru').  See module docstring for layouts.
+    The kernel computes in fp32 (its out_shapes and scratches are fp32);
+    non-f32 inputs are cast in and the result cast back so the custom-VJP
+    primal/cotangent dtypes stay consistent (the casts' transposes handle
+    the cotangent side) and the fallback lax.scan path's dtype contract is
+    preserved."""
+    dt = gi.dtype
+    f32 = jnp.float32
+    out = _gru_scan_f32(
+        cell, gi.astype(f32), w.astype(f32), b.astype(f32),
+        att.astype(f32), valid.astype(f32), h0.astype(f32),
+    )
+    return out.astype(dt)
 
 
 def _gs_fwd(cell, gi, w, b, att, valid, h0):
@@ -299,4 +319,4 @@ def _gs_bwd(cell, res, g):
     return dgi, dw, db, datt, jnp.zeros_like(valid), dh0
 
 
-gru_scan.defvjp(_gs_fwd, _gs_bwd)
+_gru_scan_f32.defvjp(_gs_fwd, _gs_bwd)

@@ -178,11 +178,15 @@ def set_backend(name: str):
 
 
 def use_lane_attention(S: int) -> bool:
-    """Dispatch decision for field-axis MHSA at sequence length S."""
-    if _INTERPRET:
-        return True
+    """Dispatch decision for field-axis MHSA at sequence length S.
+
+    Explicit 'xla' and the MAX_S guard take precedence over interpret mode
+    — a kernel-vs-XLA A/B on CPU must actually compare two paths, and an
+    interpret run must not materialize the [S, S, 128] block MAX_S bounds."""
     if _BACKEND == "xla" or S > MAX_S:
         return False
+    if _INTERPRET:
+        return True
     if _BACKEND == "lanes":
         return True
     try:
