@@ -1313,14 +1313,36 @@ class BaseModel:
             # (ModelCheckpoint's default save_weights_only=False writes
             # params + optimizer state); anything else — e.g. a weights file
             # from a different architecture — must surface its real error,
-            # not get installed unvalidated
+            # not get installed unvalidated.  Restoring against a template
+            # built from the LIVE model validates tree structure and shapes
+            # here instead of deferring the failure to apply time.
             state = flax.serialization.msgpack_restore(data)
             if "opt_state" not in state or "params" not in state:
                 raise
-            weights = {
-                "params": state["params"],
-                "batch_stats": state.get("batch_stats") or {},
+            template = {
+                "params": jax.tree.map(np.asarray, self.params),
+                "batch_stats": jax.tree.map(np.asarray, self.batch_stats)
+                if state.get("batch_stats")
+                else {},
             }
+            checked = flax.serialization.from_state_dict(
+                template,
+                {
+                    "params": state["params"],
+                    "batch_stats": state.get("batch_stats") or {},
+                },
+            )
+            for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(template)[0],
+                jax.tree_util.tree_flatten_with_path(checked)[0],
+            ):
+                if pa != pb or np.shape(a) != np.shape(b):
+                    raise ValueError(
+                        f"checkpoint does not match this architecture at "
+                        f"{_path_str(pa)}: expected {np.shape(a)}, got "
+                        f"{np.shape(b)}"
+                    )
+            weights = checked
         self.set_weights(weights)
 
     def save_checkpoint(self, path, epoch=0):

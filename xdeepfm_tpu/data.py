@@ -72,7 +72,7 @@ def read_criteo_like(path: str, require_label: Optional[bool] = None):
     has_label = True
     if require_label is not None:
         num_cols = len(data_line.split(data_sep))
-        print(f"[DEBUG] Detected {num_cols} columns in data file: {path}")
+        print(f"[DEBUG] {path}: first data row has {num_cols} columns")
         if num_cols == len(CRITEO_COLUMNS):  # 40 = label + 13 dense + 26 sparse
             has_label = True
         elif num_cols == len(CRITEO_COLUMNS) - 1:  # 39 = no label
@@ -84,8 +84,8 @@ def read_criteo_like(path: str, require_label: Optional[bool] = None):
                     "--test_path"
                 )
                 raise ValueError(
-                    f"Eval data must have label column. File {path} has "
-                    "only 39 columns."
+                    f"a label column is required here, but {path} carries "
+                    "just the 39 feature columns"
                 )
         else:
             has_label = "label" in header_line.split(header_sep)
@@ -107,12 +107,30 @@ def read_criteo_like(path: str, require_label: Optional[bool] = None):
     if df is None:
         df = _read_csv_fast(path, data_sep)
         if not all(c in df.columns for c in expected):
-            # a header that merely MISMATCHES (e.g. 'Label' capitalized)
-            # must not be ingested as a data row on the names= re-read
-            headerish = bool(
-                set(header_line.split(data_sep))
-                & {"label", "Label", "I1", "C1"}
+            # a header that merely MISMATCHES (e.g. 'Label' capitalized, or
+            # arbitrary column names) must not be ingested as a data row on
+            # the names= re-read: recognize known header tokens under EITHER
+            # separator, and otherwise treat a first row whose dense fields
+            # all fail numeric parsing as a header
+            header_tokens = set(header_line.split(data_sep)) | set(
+                header_line.split(header_sep)
             )
+            headerish = bool(header_tokens & {"label", "Label", "I1", "C1"})
+            if not headerish and header_line:
+                def _numericish(tok):
+                    if tok == "":
+                        return True  # missing dense values are common
+                    try:
+                        float(tok)
+                        return True
+                    except ValueError:
+                        return False
+
+                first_fields = header_line.split(data_sep)
+                probe = first_fields[1:14] if len(first_fields) >= 14 else []
+                headerish = bool(probe) and not any(
+                    _numericish(t) for t in probe
+                )
             df = _read_csv_fast(
                 path, data_sep, names=expected,
                 skiprows=1 if headerish else 0,
@@ -378,7 +396,15 @@ def iter_criteo_batches(
         for name in feature_names:
             pend_x[name].append(df[name].values)
         if with_label:
-            pend_y.append(df["label"].values.astype(np.float32))
+            # tolerant conversion (garbage labels -> 0, matching the bulk
+            # path); the pyarrow tier delivers label as strings
+            import pandas as pd
+
+            pend_y.append(
+                pd.to_numeric(df["label"], errors="coerce")
+                .fillna(0.0)
+                .to_numpy(np.float32)
+            )
         else:
             pend_y.append(np.zeros(len(df), np.float32))
         pending += len(df)
@@ -555,7 +581,11 @@ def _criteo_chunk_reader(path: str, chunksize: int,
             column_types={
                 **{c: pa.string() for c in CRITEO_SPARSE},
                 **{c: dense_t for c in CRITEO_DENSE},
-                "label": pa.float64(),
+                # label stays a string through the arrow layer: a float64 pin
+                # would abort the stream mid-epoch on the first garbage label
+                # token, while the bulk path and fit_preprocessors_streaming
+                # tolerate them (pd.to_numeric errors='coerce' downstream)
+                "label": pa.string(),
             },
         )
 

@@ -184,7 +184,19 @@ def _sa_padded(q, k, v, scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def small_attention(q, k, v, scale):
     """softmax(q^T k * scale) applied to v for dh-major [G, dh, S] operands
-    (S on lanes); returns [G, dh, S].  Scores never leave VMEM."""
+    (S on lanes); returns [G, dh, S].  Scores never leave VMEM.
+
+    Tiny-S only: the minimum legal pair tile (8 sublanes) keeps 8 live
+    [S, S] fp32 score temporaries in VMEM, so S beyond ~440 exceeds the
+    6 MB budget _pick_bt sizes tiles against — raise here instead of
+    silently compiling an over-budget kernel (in-repo callers are S <= 64)."""
+    S = q.shape[2]
+    if 8 * S * S * 4 > 6 * 1024 * 1024:
+        raise ValueError(
+            f"small_attention supports tiny sequence lengths only: S={S} "
+            "needs more VMEM than the 6 MB tile budget even at the minimum "
+            "8-row pair tile (use the XLA attention path for long sequences)"
+        )
     out, _ = _sa_fwd(q, k, v, scale)
     return out
 
