@@ -65,6 +65,29 @@ def _use_ragged():
     return jax.default_backend() == "tpu"
 
 
+def _default_ragged_a2a(operand, output, input_offsets, send_sizes,
+                        output_offsets, recv_sizes, *, axis_name):
+    return jax.lax.ragged_all_to_all(
+        operand, output, input_offsets, send_sizes, output_offsets,
+        recv_sizes, axis_name=axis_name,
+    )
+
+
+# Injectable primitive: ``lax.ragged_all_to_all`` is unimplemented on
+# XLA:CPU, so CPU-mesh tests swap in a pure-JAX emulation of its documented
+# offset/size semantics (parallel/ragged_emu.py) and force ragged=True —
+# executing the REAL argument plumbing below (in_off/send_sizes/out_off/
+# recv_sizes) that otherwise only runs on multi-chip TPU hardware.
+_ragged_a2a = _default_ragged_a2a
+
+
+def set_ragged_a2a_impl(fn=None):
+    """Override the ragged_all_to_all primitive (None restores the real
+    one).  Test hook — see parallel/ragged_emu.py."""
+    global _ragged_a2a
+    _ragged_a2a = fn if fn is not None else _default_ragged_a2a
+
+
 def get_embedding_mode():
     return _MODE, _MESH
 
@@ -120,7 +143,7 @@ def _exchange_to_blocks(x, in_off, send_sizes, axis, E, cap,
         out_off = jnp.full((E,), me * cap, jnp.int32)
         if recv_sizes is None:
             recv_sizes = _sizes_exchange(send_sizes, axis)
-        return jax.lax.ragged_all_to_all(
+        return _ragged_a2a(
             x,
             jnp.zeros(out_shape, x.dtype),
             in_off.astype(jnp.int32),
@@ -148,7 +171,7 @@ def _exchange_from_blocks(blocks_flat, block_sizes, dest_off, out_len, axis,
     if _use_ragged():
         if recv_sizes is None:
             recv_sizes = _sizes_exchange(block_sizes, axis)
-        return jax.lax.ragged_all_to_all(
+        return _ragged_a2a(
             blocks_flat,
             jnp.zeros(out_shape, blocks_flat.dtype),
             (jnp.arange(E, dtype=jnp.int32) * cap),
