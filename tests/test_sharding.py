@@ -283,7 +283,8 @@ def test_a2a_training_step_matches_single_device():
         )
 
 
-def _step_parity_single_vs_mesh(make_model_and_batch, embedding_mode="gspmd"):
+def _step_parity_single_vs_mesh(make_model_and_batch, embedding_mode="gspmd",
+                                atol=1e-6):
     """Helper: one train step un-sharded == the same step on the 8-device
     (data, embed) mesh (VERDICT r3 #2 — the hard model families' multi-device
     paths must actually execute on a mesh, not just the flagship's)."""
@@ -324,7 +325,7 @@ def _step_parity_single_vs_mesh(make_model_and_batch, embedding_mode="gspmd"):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=atol
         )
 
 
@@ -416,6 +417,97 @@ def _tiny_dien_model(seed=7):
     )
     model.compile("adam", "binary_crossentropy", metrics=[])
     return model, model.schema.pack(x), y
+
+
+def _zoo_cols_and_data(seed=9, n=16, vocab=16, emb=8):
+    rng = np.random.default_rng(seed)
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
+    x.update({f"I{i}": rng.uniform(0, 1, n).astype(np.float32)
+              for i in range(2)})
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, embedding_dim=emb) for i in range(4)] + [
+        DenseFeat(f"I{i}") for i in range(2)
+    ]
+    return cols, x, y
+
+
+def _make_zoo_mesh_builder(name):
+    """Builders for the zoo layouts the hard-family tests don't cover
+    (VERDICT r4 missing #2): bespoke table layouts most likely to fight a
+    P('embed', None) spec — ONN's per-pair second-order tables, MLR's
+    force_dim-stacked MultiLinearModel, FiBiNET's SENET/bilinear path, a
+    multitask loss-list step, DIN's varlen path without DIEN's recurrence,
+    and xDeepFMAttentionV2's stacked unfused blocks."""
+    from xdeepfm_tpu import models as M
+
+    def simple(build, loss="binary_crossentropy"):
+        def make():
+            cols, x, y = _zoo_cols_and_data()
+            model = build(M, cols)
+            model.compile("adam", loss, metrics=[])
+            return model, model.schema.pack(x), y
+
+        return make
+
+    if name == "ONN":
+        return simple(lambda M, c: M.ONN(c, c, dnn_hidden_units=(8,)))
+    if name == "MLR":
+        return simple(lambda M, c: M.MLR(c, region_num=3))
+    if name == "FiBiNET":
+        return simple(lambda M, c: M.FiBiNET(c, c, dnn_hidden_units=(8,)))
+    if name == "xDeepFMAttentionV2":
+        return simple(
+            lambda M, c: M.xDeepFMAttentionV2(
+                c, c, dnn_hidden_units=(8,), cin_layer_size=(4, 4),
+                cin_num_heads=2, cin_num_attn_layers=2, seed=11,
+            )
+        )
+    if name == "MMOE":
+
+        def make_mmoe():
+            cols, x, y1 = _zoo_cols_and_data()
+            rng = np.random.default_rng(13)
+            y = np.stack(
+                [y1, (y1 * (rng.uniform(size=len(y1)) < 0.7)).astype(
+                    np.float32)],
+                axis=1,
+            )
+            model = M.MMOE(
+                cols, num_experts=2, expert_dnn_hidden_units=(8,),
+                gate_dnn_hidden_units=(4,), tower_dnn_hidden_units=(4,),
+            )
+            model.compile(
+                "adam", ["binary_crossentropy", "binary_crossentropy"],
+                metrics=[],
+            )
+            return model, model.schema.pack(x), y
+
+        return make_mmoe
+    if name == "DIN":
+
+        def make_din():
+            from test_sequence_models import make_seq_data
+
+            x, y, cols = make_seq_data(n=16, vocab=16, maxlen=4, emb=8)
+            model = M.DIN(
+                cols, ["item"], dnn_hidden_units=(8,), att_hidden_size=(8,)
+            )
+            model.compile("adam", "binary_crossentropy", metrics=[])
+            return model, model.schema.pack(x), y
+
+        return make_din
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize(
+    "name", ["ONN", "MLR", "FiBiNET", "MMOE", "DIN", "xDeepFMAttentionV2"]
+)
+def test_zoo_layout_training_step_on_mesh_matches_single_device(name):
+    # atol 1e-5 (vs the flagship tests' 1e-6): a single fp32 grad element's
+    # cross-shard reduce-order noise gets amplified through adam's
+    # sqrt-normalization near zero — measured ~6e-6 max on one bias element
+    # for DIN/V2 while every other element and the loss totals agree
+    _step_parity_single_vs_mesh(_make_zoo_mesh_builder(name), atol=1e-5)
 
 
 def test_attention_training_step_on_mesh_matches_single_device():
