@@ -42,8 +42,15 @@ def bench(vocab, mode, opt="adam"):
         model.compile(opt, "binary_crossentropy", metrics=[],
                       embedding_optimizer="lazy", embedding_gradient="dense")
     elif mode == "lazy_split":
+        # default layout: PACKED [rows, (1+k)D] param|state tables — one
+        # gather + one scatter per table per step
         model.compile(opt, "binary_crossentropy", metrics=[],
                       embedding_optimizer="lazy", embedding_gradient="split")
+    elif mode == "lazy_split_flat":
+        # separate param/state arrays (pre-round-5 layout) for A/B
+        model.compile(opt, "binary_crossentropy", metrics=[],
+                      embedding_optimizer="lazy", embedding_gradient="split",
+                      embedding_layout="flat")
     else:
         raise ValueError(mode)
 
@@ -105,6 +112,11 @@ def main():
         opt, args = args[0], args[1:]
     for mode in args:
         bench(vocab, mode, opt)
+        # at capacity shapes the previous mode's tables must be collected
+        # before the next model's init allocates, or the A/B OOMs
+        import gc
+
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -94,22 +94,49 @@ def _varlen_data(n=128, vocab=50, seed=3):
     return x, y, cols
 
 
+def _canonical_state(m):
+    """(canonical params, lazy row states) whatever the embedding_layout —
+    packed tables surface their in-array state columns."""
+    params = m.get_weights()["params"]
+    lazy = {
+        p: np.asarray(v) for p, v in m.opt_state.get("lazy", {}).items()
+    }
+    for p, (D, _) in getattr(m, "_packed_tables", {}).items():
+        arr = m.params
+        for seg in p.split("/"):
+            arr = arr[seg]
+        lazy[p] = np.asarray(arr[:, D:])
+    return params, lazy
+
+
 def test_gradient_split_matches_dense_grad_lazy():
-    """embedding_gradient='split' (lookup-boundary autodiff cut) must produce
-    the same training trajectory as the dense-cotangent lazy path."""
+    """embedding_gradient='split' (lookup-boundary autodiff cut; packed
+    param|state layout under embedding_layout='auto') must produce the same
+    training trajectory AND row moments as the dense-cotangent lazy path."""
     x, y, cols = _varlen_data()
-    params = {}
+    params, lazy = {}, {}
     for mode in ("dense", "split"):
         m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
         m.compile("adam", "binary_crossentropy", metrics=[],
                   embedding_optimizer="lazy", embedding_gradient=mode)
         m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
-        params[mode] = jax.tree.map(np.asarray, m.params)
+        if mode == "split":
+            assert m._packed_tables, "auto layout should pack in split mode"
+        params[mode], lazy[mode] = _canonical_state(m)
     flat_d = jax.tree_util.tree_flatten_with_path(params["dense"])[0]
     flat_s = dict(jax.tree_util.tree_flatten_with_path(params["split"])[0])
     for path, wd in flat_d:
         np.testing.assert_allclose(
             wd, flat_s[path], rtol=2e-5, atol=1e-7, err_msg=str(path)
+        )
+    assert set(lazy["dense"]) == set(lazy["split"])
+    for p in lazy["dense"]:
+        # same fp32 accumulation-order tolerance as the params: the dense
+        # path's scatter-add dedup and split's cumsum run-sums order the
+        # duplicate-gradient sums differently (~8e-8 max, measured)
+        np.testing.assert_allclose(
+            lazy["dense"][p], lazy["split"][p], rtol=2e-5, atol=1e-7,
+            err_msg=p,
         )
 
 
@@ -126,7 +153,7 @@ def test_duplicate_feature_column_split_parity():
         m.compile("adam", "binary_crossentropy", metrics=[],
                   embedding_optimizer="lazy", embedding_gradient=mode)
         m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
-        params[mode] = jax.tree.map(np.asarray, m.params)
+        params[mode] = _canonical_state(m)[0]
     flat_d = jax.tree_util.tree_flatten_with_path(params["dense"])[0]
     flat_s = dict(jax.tree_util.tree_flatten_with_path(params["split"])[0])
     for path, wd in flat_d:
@@ -170,6 +197,108 @@ def test_gradient_split_untouched_rows_frozen():
         )
 
 
+def test_packed_vs_flat_layout_parity():
+    """embedding_layout='packed' ([rows, (1+k)D] param|state arrays, one
+    gather + one scatter per table) must track the 'flat' layout (separate
+    param/state arrays): same math — tolerances cover XLA fusion rounding
+    differences from the reshaped op graph (~2e-8 max, measured)."""
+    x, y, cols = _varlen_data()
+    out = {}
+    for layout in ("flat", "packed"):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient="split",
+                  embedding_layout=layout)
+        assert bool(m._packed_tables) == (layout == "packed")
+        m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
+        out[layout] = (_canonical_state(m), m.predict(x, 64))
+    (pf, lf), predf = out["flat"]
+    (pp, lp), predp = out["packed"]
+    np.testing.assert_allclose(predp, predf, rtol=1e-6)
+    flat_f = jax.tree_util.tree_flatten_with_path(pf)[0]
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(pp)[0])
+    for path, w in flat_f:
+        np.testing.assert_allclose(
+            w, flat_p[path], rtol=1e-5, atol=1e-7, err_msg=str(path)
+        )
+    for p in lf:
+        np.testing.assert_allclose(lf[p], lp[p], rtol=1e-5, atol=1e-7,
+                                   err_msg=p)
+
+
+def test_packed_adagrad_trains():
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile("adagrad", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split",
+              embedding_layout="packed")
+    assert all(k == 1 for _, k in m._packed_tables.values())
+    h = m.fit(x, y, batch_size=64, epochs=3, verbose=0)
+    assert h.history["loss"][-1] < h.history["loss"][0]
+
+
+def test_packed_checkpoint_cross_format(tmp_path):
+    """Checkpoints are byte-compatible across embedding_layout settings:
+    train packed -> save -> load into a FLAT-layout model (and the reverse),
+    with identical predictions and identical resumed training."""
+    x, y, cols = _varlen_data()
+
+    def build(layout):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient="split",
+                  embedding_layout=layout)
+        return m
+
+    for src, dst in (("packed", "flat"), ("flat", "packed")):
+        m1 = build(src)
+        m1.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+        p = str(tmp_path / f"c_{src}.bin")
+        m1.save_checkpoint(p, epoch=1)
+        m2 = build(dst)
+        assert m2.load_checkpoint(p) == 1
+        np.testing.assert_allclose(
+            m2.predict(x, 64), m1.predict(x, 64), rtol=1e-6,
+            err_msg=f"{src}->{dst}",
+        )
+        # resumed training continues identically (moments restored)
+        m1.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+        m2.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+        np.testing.assert_allclose(
+            m2.predict(x, 64), m1.predict(x, 64), rtol=1e-5, atol=1e-8,
+            err_msg=f"{src}->{dst} resume",
+        )
+
+
+def test_packed_weights_io_canonical(tmp_path):
+    """get/set_weights + save/load_weights speak the canonical format on a
+    packed model; set_weights preserves the in-array optimizer state."""
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile("adam", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split",
+              embedding_layout="packed")
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    w = m.get_weights()
+    table = w["params"]["embedding_dict"]["table_d8"]
+    assert table.shape[1] == 8  # canonical dim, not the packed 24
+    _, lazy_before = _canonical_state(m)
+    m.set_weights(w)
+    _, lazy_after = _canonical_state(m)
+    for p in lazy_before:
+        np.testing.assert_array_equal(lazy_before[p], lazy_after[p])
+    # save_weights/load_weights round trip into a fresh packed model
+    wpath = str(tmp_path / "w.bin")
+    m.save_weights(wpath)
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m2.compile("adam", "binary_crossentropy", metrics=[],
+               embedding_optimizer="lazy", embedding_gradient="split",
+               embedding_layout="packed")
+    m2.load_weights(wpath)
+    np.testing.assert_allclose(m2.predict(x, 64), m.predict(x, 64),
+                               rtol=1e-6)
+
+
 def test_embedding_optimizer_auto_small_tables_dense():
     x, y, cols = _data()
     m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
@@ -195,8 +324,11 @@ def test_gradient_split_tracked_reg_value_matches_full_scan():
         if mode == "split":
             assert m.opt_state.get("reg"), "tracked reg scalars expected"
             # tracked scalar == true full-table sum(w^2) after training
+            # (canonical param columns only — the packed layout stores
+            # optimizer state alongside)
+            canon = _canonical_state(m)[0]
             for path, val in m.opt_state["reg"].items():
-                tree = m.params
+                tree = canon
                 for seg in path.split("/"):
                     tree = tree[seg]
                 np.testing.assert_allclose(

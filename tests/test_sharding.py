@@ -527,9 +527,10 @@ def test_pro_remat_training_step_on_mesh_a2a():
     _step_parity_single_vs_mesh(_tiny_pro_model, embedding_mode="all_to_all")
 
 
-def _tiny_lazy_model_and_batch(seed=3):
+def _tiny_lazy_model_and_batch(seed=3, layout="auto"):
     """Same tiny xDeepFM, compiled with the lazy row-sparse optimizer in
-    gradient-split mode — the pod-capacity composition (SURVEY.md §7 M3)."""
+    gradient-split mode — the pod-capacity composition (SURVEY.md §7 M3).
+    Default layout 'auto' = packed [rows, 3D] param|m|v tables."""
     rng = np.random.default_rng(seed)
     n, vocab = 64, 16
     x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
@@ -543,14 +544,15 @@ def _tiny_lazy_model_and_batch(seed=3):
         cols, cols, dnn_hidden_units=(8,), cin_layer_size=(4, 4), seed=11
     )
     model.compile("adam", "binary_crossentropy", metrics=[],
-                  embedding_optimizer="lazy", embedding_gradient="split")
+                  embedding_optimizer="lazy", embedding_gradient="split",
+                  embedding_layout=layout)
     return model, model.schema.pack(x), y
 
 
-def _lazy_mesh_parity(embedding_mode="gspmd", steps=2):
+def _lazy_mesh_parity(embedding_mode="gspmd", steps=2, layout="auto"):
     """Lazy+split training on the mesh (shard-local row updates) == the same
     steps un-sharded.  Runs >1 step so the per-shard moment states carry."""
-    model1, batch, y = _tiny_lazy_model_and_batch()
+    model1, batch, y = _tiny_lazy_model_and_batch(layout=layout)
     yb = jnp.asarray(y[:, None])
     mask = jnp.ones((len(y),), jnp.float32)
     xb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -560,7 +562,7 @@ def _lazy_mesh_parity(embedding_mode="gspmd", steps=2):
             p1, bs1, o1, xb, yb, mask, s
         )
 
-    model2, batch2, y2 = _tiny_lazy_model_and_batch()
+    model2, batch2, y2 = _tiny_lazy_model_and_batch(layout=layout)
     mesh = make_mesh(8)
     try:
         with mesh:
@@ -568,7 +570,15 @@ def _lazy_mesh_parity(embedding_mode="gspmd", steps=2):
             if embedding_mode != "gspmd":
                 set_embedding_mode(embedding_mode, mesh)
             # per-shard moment state is the capacity point: assert the lazy
-            # state actually row-shards with its table
+            # state actually row-shards with its table.  Default layout is
+            # PACKED (param|m|v in one [rows, 3D] array), so the state rides
+            # the table's own sharding; flat-layout state is a separate dict.
+            assert bool(model2._packed_tables) == (layout != "flat")
+            for path in model2._packed_tables:
+                arr = model2.params
+                for seg in path.split("/"):
+                    arr = arr[seg]
+                assert arr.sharding.spec == P("embed", None), path
             for st in model2.opt_state["lazy"].values():
                 assert st.sharding.spec == P("embed", None)
             xb2 = shard_batch(batch2, mesh)
@@ -590,12 +600,14 @@ def _lazy_mesh_parity(embedding_mode="gspmd", steps=2):
 
         set_active_mesh(None)
     np.testing.assert_allclose(float(total1), float(total2), rtol=1e-5)
+    # packed layout: the params comparison below covers the adam m/v row
+    # moments too (they live in the same arrays)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
-    # row moment states must agree too (adam m/v per touched row)
+    # flat-layout row moment states must agree too (empty dict when packed)
     for path in o1["lazy"]:
         np.testing.assert_allclose(
             np.asarray(o1["lazy"][path]), np.asarray(o2["lazy"][path]),
@@ -607,9 +619,15 @@ def test_lazy_split_training_on_mesh_matches_single_device():
     _lazy_mesh_parity()
 
 
+def test_lazy_split_training_on_mesh_flat_layout():
+    """The separate-state (flat) layout's shard-local update path stays
+    covered alongside the packed default."""
+    _lazy_mesh_parity(layout="flat")
+
+
 def test_lazy_split_training_on_mesh_a2a_lookup():
-    """Compact-row gathers ride the all_to_all exchange; updates stay
-    shard-local."""
+    """Compact-row gathers ride the all_to_all exchange (packed tables ship
+    only their param columns over the wire); updates stay shard-local."""
     _lazy_mesh_parity(embedding_mode="all_to_all")
 
 

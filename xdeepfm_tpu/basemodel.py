@@ -22,6 +22,7 @@ already alpha-weighted, cf. ``basemodel.py:430-431``).
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import flax
@@ -87,6 +88,22 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
+def _tree_get(tree, path):
+    for seg in path.split("/"):
+        tree = tree[seg]
+    return tree
+
+
+def _tree_set(tree, path, val):
+    segs = path.split("/")
+    if len(segs) == 1:
+        return {**tree, segs[0]: val}
+    return {
+        **tree,
+        segs[0]: _tree_set(tree[segs[0]], "/".join(segs[1:]), val),
+    }
+
+
 class BaseModel:
     def __init__(
         self,
@@ -125,6 +142,7 @@ class BaseModel:
         self._compiled = None
         self.module = None
         self._lazy_tables = {}
+        self._packed_tables = {}
 
     def _finalize(self):
         """Build the flax module + initialize variables.  Called at the end of
@@ -223,7 +241,8 @@ class BaseModel:
 
     def compile(self, optimizer, loss=None, metrics=None, lr=None,
                 embedding_optimizer="dense", matmul_precision=None,
-                embedding_gradient="auto", fused_lookup="auto"):
+                embedding_gradient="auto", fused_lookup="auto",
+                embedding_layout="auto"):
         """String (or optax GradientTransformation) optimizer, string loss
         name(s), metric-name list (``basemodel.py:433-445``).
 
@@ -256,8 +275,25 @@ class BaseModel:
         pair per table.  Bit-equivalent math up to fp32 scatter accumulation
         order.  'auto' (default) enables it on a single device; True forces,
         False disables.
+
+        embedding_layout (lazy+split mode only): 'packed' stores each lazy
+        table as ONE [rows, (1+k)*dim] array — param columns followed by the
+        optimizer's k*dim row state (adam m|v, adagrad acc) — so the step's
+        per-occurrence gather serves BOTH the forward block and the moment
+        rows, and the whole update is ONE scatter instead of param + state
+        row walks (XLA serializes row scatters per index; the walk count is
+        the cost model).  'flat' keeps separate [rows, dim] param +
+        [rows, k*dim] state arrays.  'auto' = packed whenever lazy+split.
+        The packed layout is internal: get/set_weights, checkpoints, and
+        predict all speak the canonical table_d{d} format (checkpoints are
+        byte-compatible across layouts).
         """
         self._matmul_precision = matmul_precision
+        if self._packed_tables:
+            # re-compile on a packed model: restore canonical storage first
+            self._unpack_params()
+        if embedding_layout not in ("auto", "packed", "flat"):
+            raise ValueError(embedding_layout)
         if embedding_gradient not in ("auto", "dense", "split"):
             raise ValueError(embedding_gradient)
         if embedding_gradient == "auto":
@@ -336,8 +372,129 @@ class BaseModel:
             and (fused_lookup is True or jax.device_count() == 1)
         ):
             self._fused_dense_groups = self._build_fused_groups()
+        if embedding_layout == "packed" and not (
+            self._lazy_tables and self._lazy_split
+        ):
+            raise ValueError(
+                "embedding_layout='packed' requires embedding_optimizer="
+                "'lazy' with embedding_gradient='split'"
+            )
+        self._packed_tables = {}
+        if (
+            embedding_layout in ("auto", "packed")
+            and self._lazy_tables
+            and self._lazy_split
+        ):
+            self._pack_params()
         self._init_opt_state()
         self._build_steps()
+
+    # ------------------------------------------------- packed lazy layout
+
+    def _pack_params(self):
+        """Switch every lazy table to the packed [rows, (1+k)*dim] layout:
+        param columns + the lazy optimizer's zero-initialized row state in
+        ONE array (see compile(embedding_layout=...)).  Records
+        ``self._packed_tables = {path: (dim, k)}``."""
+        import os
+
+        from .optimizers import LAZY_ROW_MATH
+
+        _, k = LAZY_ROW_MATH[self._lazy_kind]
+
+        @partial(jax.jit, static_argnums=1)
+        def _pack(table, k_):
+            rows, dim = table.shape
+            return jnp.concatenate(
+                [table, jnp.zeros((rows, k_ * dim), table.dtype)], axis=1
+            )
+
+        def _padded_bytes(rows, w):
+            # measured TPU minor-dim storage rule (v5e): widths <= 8 are
+            # stored compact, wider pads up to the next multiple of 8
+            # (e.g. [104M, 10] occupies 6.66 GB, not 4.16)
+            return rows * (w if w <= 8 else -(-w // 8) * 8) * 4
+
+        params = self.params
+        # pack LARGEST first: during each pack the old and new buffers
+        # coexist (donation can't alias across shapes), so the peak is
+        # padded(old_max) + padded(new_max) + the other canonical tables.
+        # At the capacity edge (104M rows x dim 10, adagrad: 6.66 + 9.98 GB
+        # transient on a 16 GiB chip) that's tight — spill the SMALLER
+        # canonical tables to host for the duration when the estimate
+        # crowds the budget.
+        order = sorted(
+            self._lazy_tables,
+            key=lambda p: -_tree_get(params, p).size,
+        )
+        sizes = {
+            p: _padded_bytes(*_tree_get(params, p).shape) for p in order
+        }
+        budget = float(os.environ.get("XDEEPFM_HBM_BUDGET", 16 * 2**30))
+        peak = (
+            sizes[order[0]]
+            + _padded_bytes(
+                _tree_get(params, order[0]).shape[0],
+                (1 + k) * _tree_get(params, order[0]).shape[1],
+            )
+            + sum(sizes[p] for p in order[1:])
+        )
+        spilled = {}
+        if len(order) > 1 and peak > 0.93 * budget:
+            for p in order[1:]:
+                t = _tree_get(params, p)
+                spilled[p] = np.asarray(t)
+                t.delete()
+        for path in order:
+            if path in spilled:
+                table = jnp.asarray(spilled.pop(path))
+                params = _tree_set(params, path, table)
+            else:
+                table = _tree_get(params, path)
+            dim = table.shape[1]
+            new = _pack(table, k)
+            new.block_until_ready()
+            # the old buffer is NOT freed by tracing/donation (shape
+            # mismatch makes donation unusable) — release it explicitly or
+            # it leaks its padded footprint for the process lifetime
+            try:
+                table.delete()
+            except Exception:
+                pass
+            params = _tree_set(params, path, new)
+            self._packed_tables[path] = (dim, k)
+        self.params = params
+
+    def _unpack_params(self, lazy_state=None):
+        """Restore canonical [rows, dim] tables from the packed layout.
+        Returns {path: state [rows, k*dim]} holding the row states that were
+        packed alongside (``lazy_state`` overrides per path, for checkpoint
+        load)."""
+        states = {}
+        params = self.params
+        for path, (dim, k) in self._packed_tables.items():
+            packed = _tree_get(params, path)
+            states[path] = (
+                lazy_state[path] if lazy_state is not None
+                else np.asarray(packed[:, dim:])
+            )
+            table = packed[:, :dim]
+            try:
+                packed.delete()  # see _pack_params: the tree's reference
+            except Exception:   # would otherwise pin the wide buffer
+                pass
+            params = _tree_set(params, path, table)
+        self.params = params
+        self._packed_tables = {}
+        return states
+
+    def _canonical_params(self, params):
+        """View of a param tree with packed lazy tables sliced back to
+        [rows, dim].  Under jit the slice is dead — hence free — wherever
+        lookups consume the engine's ``_compact`` occurrence blocks."""
+        for path, (dim, _) in self._packed_tables.items():
+            params = _tree_set(params, path, _tree_get(params, path)[:, :dim])
+        return params
 
     def _build_fused_groups(self):
         """Groups of same-layout stacked tables for the dense fused lookup:
@@ -431,8 +588,12 @@ class BaseModel:
 
             self.opt_state = {
                 "optax": self.optimizer.init(self.params),
+                # packed-layout tables carry their row state inside the
+                # param array itself — no separate state entry
                 "lazy": {
-                    path: make_state(path) for path in self._lazy_tables
+                    path: make_state(path)
+                    for path in self._lazy_tables
+                    if path not in self._packed_tables
                 },
             }
             if getattr(self, "_lazy_split", False):
@@ -452,9 +613,17 @@ class BaseModel:
                 # update path (sharded_lazy_row_update) doesn't surface
                 # before/after row values, so they fall back to the fused
                 # full-table reg value (GSPMD local reduce + psum).
-                sumsq = jax.jit(lambda t: jnp.sum(jnp.square(t)))
+                sumsq = jax.jit(
+                    lambda t, d: jnp.sum(jnp.square(t[:, :d])),
+                    static_argnums=1,
+                )
                 self.opt_state["reg"] = {
-                    path: sumsq(flat[path])
+                    path: sumsq(
+                        flat[path],
+                        self._packed_tables.get(
+                            path, (flat[path].shape[1],)
+                        )[0],
+                    )
                     for path, (entries, l1, l2) in self._lazy_tables.items()
                     if l2 > 0 and l1 == 0
                     and not self._sharded_lazy_path(flat[path])
@@ -485,9 +654,15 @@ class BaseModel:
         num_tasks = self.num_tasks
         if lazy_specs:
             from .embeddings import touched_ids
-            from .optimizers import LAZY_OPTIMIZERS, segment_run_sums
+            from .optimizers import (
+                LAZY_OPTIMIZERS,
+                LAZY_ROW_MATH,
+                _row_set,
+                segment_run_sums,
+            )
 
             _, lazy_row_update, _ = LAZY_OPTIMIZERS[self._lazy_kind]
+            lazy_row_math, _ = LAZY_ROW_MATH[self._lazy_kind]
             lazy_lr = self._lazy_lr
         fused_groups = list(getattr(self, "_fused_dense_groups", ()))
         if fused_groups:
@@ -511,21 +686,16 @@ class BaseModel:
                         o += t.shape[1]
                 return compact
 
-        def _tree_get(tree, path):
-            for seg in path.split("/"):
-                tree = tree[seg]
-            return tree
-
-        def _tree_set(tree, path, val):
-            segs = path.split("/")
-            if len(segs) == 1:
-                return {**tree, segs[0]: val}
-            return {
-                **tree,
-                segs[0]: _tree_set(tree[segs[0]], "/".join(segs[1:]), val),
-            }
-
         matmul_precision = getattr(self, "_matmul_precision", None)
+        packed = dict(self._packed_tables)
+
+        def canonical_view(p):
+            """Packed lazy tables sliced to their canonical [rows, dim] shape
+            for module.apply (flax validates param shapes).  Dead — hence
+            free — when every lookup consumes a ``_compact`` block."""
+            for path, (D, _) in packed.items():
+                p = _tree_set(p, path, _tree_get(p, path)[:, :D])
+            return p
 
         def apply_train(params, batch_stats, batch, rng):
             variables = {"params": params}
@@ -547,6 +717,14 @@ class BaseModel:
                     mutable=["batch_stats"],
                 )
             return out, mutated.get("batch_stats", batch_stats)
+
+        if packed:
+            _apply_train_raw = apply_train
+
+            def apply_train(params, batch_stats, batch, rng):
+                return _apply_train_raw(
+                    canonical_view(params), batch_stats, batch, rng
+                )
 
         def compute_loss(out, y, mask):
             y_pred = out["pred"]
@@ -587,6 +765,7 @@ class BaseModel:
             reg_const = jnp.zeros(())
             lazy_ids = {}
             compact_rows = {}
+            packed_rows = {}
             if lazy_split:
                 tracked = opt_state.get("reg", {})
                 from .parallel.sharded_embedding import maybe_sharded_take
@@ -598,7 +777,29 @@ class BaseModel:
                     # routes through the shard_map / all_to_all lookup
                     # kernels when an embedding mode is set (plain take
                     # under gspmd — XLA partitions the gather itself)
-                    compact_rows[path] = maybe_sharded_take(table, ids)
+                    if path in packed and not self._sharded_lazy_path(table):
+                        # packed layout: ONE full-width per-occurrence walk
+                        # serves the forward block ([:, :D] slice, the
+                        # differentiated input) AND the optimizer's row
+                        # state (consumed by the update below) — the walk
+                        # is row-latency bound, not byte bound, so the
+                        # wider row costs ~nothing and the separate state
+                        # gather disappears
+                        D, _ = packed[path]
+                        rows_full = maybe_sharded_take(table, ids)
+                        packed_rows[path] = rows_full
+                        compact_rows[path] = rows_full[:, :D]
+                    elif path in packed:
+                        # embed-sharded packed table: the shard-local
+                        # update re-gathers packed rows after the id
+                        # exchange, so the forward gather ships only the
+                        # param columns over the wire
+                        D, _ = packed[path]
+                        compact_rows[path] = maybe_sharded_take(
+                            table, ids, width=D
+                        )
+                    else:
+                        compact_rows[path] = maybe_sharded_take(table, ids)
                     if path in tracked:
                         # incrementally-tracked sum(w^2) scalar — no table
                         # read at all (updated below from touched rows).
@@ -608,6 +809,8 @@ class BaseModel:
                     # row-gradient is applied lazily below.  Flattened so
                     # XLA fuses square+reduce in one stage (a [R, 1] table
                     # otherwise materializes a full [R] row-sum temp).
+                    if path in packed:
+                        table = table[:, : packed[path][0]]
                     flat_t = table.reshape(-1)
                     if l1 > 0:
                         reg_const = reg_const + l1 * jnp.sum(jnp.abs(flat_t))
@@ -652,7 +855,6 @@ class BaseModel:
                 new_lazy = {}
                 new_reg = {}
                 for path, (entries, l1, l2) in lazy_specs.items():
-                    lstate = opt_state["lazy"][path]
                     if lazy_split and self._sharded_lazy_path(
                         _tree_get(params, path)
                     ):
@@ -667,14 +869,28 @@ class BaseModel:
                             sharded_lazy_row_update,
                         )
 
+                        if path in packed:
+                            # packed layout shard-locally too: one gather
+                            # of [*, (1+k)D] rows + ONE scatter per shard
+                            p_new = sharded_lazy_row_update(
+                                _tree_get(params, path), None,
+                                lazy_ids[path], row_grads[path], step + 1,
+                                None, get_active_mesh(), lr=lazy_lr,
+                                l1=l1, l2=l2, packed_dim=packed[path][0],
+                                row_math=lazy_row_math,
+                            )
+                            new_params = _tree_set(new_params, path, p_new)
+                            continue
                         p_new, lstate_new = sharded_lazy_row_update(
-                            _tree_get(params, path), lstate, lazy_ids[path],
+                            _tree_get(params, path),
+                            opt_state["lazy"][path], lazy_ids[path],
                             row_grads[path], step + 1, lazy_row_update,
                             get_active_mesh(), lr=lazy_lr, l1=l1, l2=l2,
                         )
                         new_params = _tree_set(new_params, path, p_new)
                         new_lazy[path] = lstate_new
                         continue
+                    st_rows = None
                     if lazy_split:
                         # row_grads is the per-occurrence [N, dim] cotangent:
                         # sort by id (one argsort — XLA scatters/sorts on 106k
@@ -690,7 +906,19 @@ class BaseModel:
                             [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
                         )
                         g_rows = segment_run_sums(g_sorted, is_first)
-                        p_rows = jnp.take(compact_rows[path], order, axis=0)
+                        if path in packed:
+                            # the packed forward gather already holds the
+                            # row state columns — reuse, no state gather
+                            D, _ = packed[path]
+                            rows_sorted = jnp.take(
+                                packed_rows[path], order, axis=0
+                            )
+                            p_rows = rows_sorted[:, :D]
+                            st_rows = rows_sorted[:, D:]
+                        else:
+                            p_rows = jnp.take(
+                                compact_rows[path], order, axis=0
+                            )
                         ids = sids
                         ids_sorted = True
                     else:
@@ -703,15 +931,30 @@ class BaseModel:
                         g_rows = g_rows + 2.0 * l2 * p_rows
                     if l1 > 0:
                         g_rows = g_rows + l1 * jnp.sign(p_rows)
-                    # p_rows passes through: the rows were already gathered
-                    # above (forward block / reg gradient), so the update
-                    # skips its internal table walk (~117 ns/row serialized)
-                    p_new, lstate_new, p_rows_new = lazy_row_update(
-                        p_arr, lstate, ids, g_rows, step + 1, lr=lazy_lr,
-                        sorted_ids=ids_sorted, p_rows=p_rows,
-                    )
-                    new_params = _tree_set(new_params, path, p_new)
-                    new_lazy[path] = lstate_new
+                    if path in packed:
+                        # pure row math + ONE combined scatter: the whole
+                        # per-table update is a single serialized row walk
+                        p_rows_new, st_new = lazy_row_math(
+                            p_rows, st_rows, g_rows, step + 1, lr=lazy_lr
+                        )
+                        p_new = _row_set(
+                            p_arr, ids,
+                            jnp.concatenate([p_rows_new, st_new], axis=1),
+                            ids_sorted,
+                        )
+                        new_params = _tree_set(new_params, path, p_new)
+                    else:
+                        # p_rows passes through: the rows were already
+                        # gathered above (forward block / reg gradient), so
+                        # the update skips its internal table walk
+                        # (~117 ns/row serialized)
+                        p_new, lstate_new, p_rows_new = lazy_row_update(
+                            p_arr, opt_state["lazy"][path], ids, g_rows,
+                            step + 1, lr=lazy_lr, sorted_ids=ids_sorted,
+                            p_rows=p_rows,
+                        )
+                        new_params = _tree_set(new_params, path, p_new)
+                        new_lazy[path] = lstate_new
                     if lazy_split and path in opt_state.get("reg", {}):
                         # incremental sum(w^2): duplicates write identical
                         # values, so count each unique row once (is_first).
@@ -778,6 +1021,22 @@ class BaseModel:
             return params, batch_stats, opt_state, totals, mvals
 
         def predict_step(params, batch_stats, batch):
+            if packed:
+                # packed layout: serve lookups from per-occurrence compact
+                # blocks (gather + param-column slice) and hand apply the
+                # canonical table view — which is then dead, so no sliced
+                # full-table copy ever materializes at serving time
+                batch = dict(batch)
+                batch["_compact"] = {
+                    path: jnp.take(
+                        _tree_get(params, path),
+                        touched_ids(batch, entries),
+                        axis=0,
+                    )[:, : packed[path][0]]
+                    for path, (entries, _, _) in lazy_specs.items()
+                    if path in packed
+                }
+                params = canonical_view(params)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -1289,13 +1548,30 @@ class BaseModel:
     # --------------------------------------------------------- weights I/O
 
     def get_weights(self):
+        """Always the CANONICAL format: packed lazy tables are sliced back
+        to [rows, dim] (see compile(embedding_layout=...))."""
         return {
-            "params": jax.tree.map(np.asarray, self.params),
+            "params": jax.tree.map(
+                np.asarray, self._canonical_params(self.params)
+            ),
             "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
         }
 
     def set_weights(self, weights):
-        self.params = jax.tree.map(jnp.asarray, weights["params"])
+        """Accepts canonical-format weights; on a packed model the param
+        columns are replaced while the in-array optimizer row state is
+        preserved (matching the flat layout, where set_weights leaves
+        opt_state untouched)."""
+        params = jax.tree.map(jnp.asarray, weights["params"])
+        for path, (D, _) in self._packed_tables.items():
+            cur = _tree_get(self.params, path)
+            params = _tree_set(
+                params,
+                path,
+                jnp.concatenate([_tree_get(params, path), cur[:, D:]],
+                                axis=1),
+            )
+        self.params = params
         self.batch_stats = jax.tree.map(jnp.asarray, weights["batch_stats"])
 
     def save_weights(self, path):
@@ -1345,16 +1621,33 @@ class BaseModel:
             weights = checked
         self.set_weights(weights)
 
+    def _canonical_opt_state(self):
+        """opt_state in the canonical on-disk format: a packed table's
+        in-array row state is surfaced as ``opt_state['lazy'][path]``
+        ([rows, k*dim]), exactly as the flat layout stores it — so
+        checkpoints are byte-compatible across embedding_layout settings."""
+        opt = self.opt_state
+        if not self._packed_tables or not isinstance(opt, dict):
+            return opt
+        lazy = dict(opt.get("lazy", {}))
+        for path, (D, _) in self._packed_tables.items():
+            lazy[path] = _tree_get(self.params, path)[:, D:]
+        return {**opt, "lazy": lazy}
+
     def save_checkpoint(self, path, epoch=0):
         """Full training checkpoint: params + batch_stats + OPTIMIZER STATE +
         epoch.  The reference never persists optimizer state
         (SURVEY.md §5 checkpoint/resume); this enables true resume via
-        ``fit(initial_epoch=...)``."""
+        ``fit(initial_epoch=...)``.  Always written in the CANONICAL format
+        (table_d{d} [rows, dim] + opt_state['lazy'] row states), whatever
+        the live embedding_layout."""
         assert self._compiled, "compile() before save_checkpoint()"
         state = {
-            "params": jax.tree.map(np.asarray, self.params),
+            "params": jax.tree.map(
+                np.asarray, self._canonical_params(self.params)
+            ),
             "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
-            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "opt_state": jax.tree.map(np.asarray, self._canonical_opt_state()),
             "epoch": epoch,
         }
         with open(path, "wb") as f:
@@ -1363,16 +1656,38 @@ class BaseModel:
     def load_checkpoint(self, path):
         assert self._compiled, "compile() before load_checkpoint()"
         template = {
-            "params": jax.tree.map(np.asarray, self.params),
+            "params": jax.tree.map(
+                np.asarray, self._canonical_params(self.params)
+            ),
             "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
-            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "opt_state": jax.tree.map(
+                np.asarray, self._canonical_opt_state()
+            ),
             "epoch": 0,
         }
         with open(path, "rb") as f:
             state = flax.serialization.from_bytes(template, f.read())
-        self.params = jax.tree.map(jnp.asarray, state["params"])
+        params = state["params"]
+        opt = state["opt_state"]
+        if self._packed_tables:
+            # reassemble the packed layout from the canonical checkpoint —
+            # HOST-side (from_bytes returns numpy), so the device never
+            # holds table + state + packed result at once at capacity
+            lazy = dict(opt["lazy"])
+            for path, (D, _) in self._packed_tables.items():
+                params = _tree_set(
+                    params,
+                    path,
+                    np.concatenate(
+                        [np.asarray(_tree_get(params, path)),
+                         np.asarray(lazy.pop(path))],
+                        axis=1,
+                    ),
+                )
+            opt = {**opt, "lazy": lazy}
+        self.params = jax.tree.map(jnp.asarray, params)
         self.batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
-        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.opt_state = jax.tree.map(jnp.asarray, opt)
         return int(state["epoch"])
 
     # ----------------------------------------------------------- misc parity

@@ -40,6 +40,22 @@ def _row_set(arr, ids, vals, sorted_ids=False):
     )
 
 
+def lazy_adam_row_math(p_rows, mv_rows, g_rows, t, lr=1e-3, b1=0.9,
+                       b2=0.999, eps=1e-8):
+    """Pure row math for the Adam update: no table access.  ``p_rows``
+    [N, D], ``mv_rows`` [N, 2D] (m|v packed), ``g_rows`` [N, D] — returns
+    ``(p_rows_new, mv_rows_new)``.  Shared by the separate-state path below
+    and the packed [rows, 3D] layout (param|m|v in ONE array)."""
+    D = p_rows.shape[1]
+    m_rows = b1 * mv_rows[:, :D] + (1 - b1) * g_rows
+    v_rows = b2 * mv_rows[:, D:] + (1 - b2) * jnp.square(g_rows)
+    t = t.astype(jnp.float32)
+    mhat = m_rows / (1 - jnp.power(b1, t))
+    vhat = v_rows / (1 - jnp.power(b2, t))
+    p_new = p_rows - lr * mhat / (jnp.sqrt(vhat) + eps)
+    return p_new, jnp.concatenate([m_rows, v_rows], axis=1)
+
+
 def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,
                    eps=1e-8, sorted_ids=False, p_rows=None):
     """Row-wise Adam on the touched rows only.  t is the 1-based step.
@@ -56,23 +72,17 @@ def lazy_adam_rows(p, state, ids, g_rows, t, lr=1e-3, b1=0.9, b2=0.999,
     an extra serialized row gather.  Out-of-range padding ids (sharded
     callers pad with id == rows) are DROPPED by the table writes; their
     ``p_rows_new`` entries are clipped-row phantoms — do not consume them."""
-    D = p.shape[1]
     mv_rows = state.at[ids].get(
         mode="clip", indices_are_sorted=sorted_ids
     )
-    m_rows = b1 * mv_rows[:, :D] + (1 - b1) * g_rows
-    v_rows = b2 * mv_rows[:, D:] + (1 - b2) * jnp.square(g_rows)
-    t = t.astype(jnp.float32)
-    mhat = m_rows / (1 - jnp.power(b1, t))
-    vhat = v_rows / (1 - jnp.power(b2, t))
     if p_rows is None:
         p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
-    p_rows = p_rows - lr * mhat / (jnp.sqrt(vhat) + eps)
+    p_rows, mv_new = lazy_adam_row_math(
+        p_rows, mv_rows, g_rows, t, lr=lr, b1=b1, b2=b2, eps=eps
+    )
     return (
         _row_set(p, ids, p_rows, sorted_ids),
-        _row_set(
-            state, ids, jnp.concatenate([m_rows, v_rows], axis=1), sorted_ids
-        ),
+        _row_set(state, ids, mv_new, sorted_ids),
         p_rows,
     )
 
@@ -81,15 +91,24 @@ def lazy_adagrad_init(table):
     return jnp.zeros_like(table)
 
 
+def lazy_adagrad_row_math(p_rows, acc_rows, g_rows, t, lr=0.01, eps=1e-10):
+    """Pure row math for the Adagrad update (see lazy_adam_row_math)."""
+    del t
+    acc_rows = acc_rows + jnp.square(g_rows)
+    return p_rows - lr * g_rows / (jnp.sqrt(acc_rows) + eps), acc_rows
+
+
 def lazy_adagrad_rows(p, state, ids, g_rows, t, lr=0.01, eps=1e-10,
                       sorted_ids=False, p_rows=None):
     """See :func:`lazy_adam_rows` for the ``p_rows`` / padding-id contract."""
     acc_rows = state.at[ids].get(
         mode="clip", indices_are_sorted=sorted_ids
-    ) + jnp.square(g_rows)
+    )
     if p_rows is None:
         p_rows = p.at[ids].get(mode="clip", indices_are_sorted=sorted_ids)
-    p_rows = p_rows - lr * g_rows / (jnp.sqrt(acc_rows) + eps)
+    p_rows, acc_rows = lazy_adagrad_row_math(
+        p_rows, acc_rows, g_rows, t, lr=lr, eps=eps
+    )
     return (
         _row_set(p, ids, p_rows, sorted_ids),
         _row_set(state, ids, acc_rows, sorted_ids),
@@ -100,6 +119,17 @@ def lazy_adagrad_rows(p, state, ids, g_rows, t, lr=0.01, eps=1e-10,
 LAZY_OPTIMIZERS = {
     "adam": (lazy_adam_init, lazy_adam_rows, {"lr": 1e-3}),
     "adagrad": (lazy_adagrad_init, lazy_adagrad_rows, {"lr": 0.01}),
+}
+
+# Packed-layout companions: (pure row math fn, state width in multiples of
+# the param dim).  A packed lazy table stores [rows, (1 + k) * D] —
+# param | optimizer state side by side — so the gradient-split step's one
+# per-occurrence gather serves BOTH the forward block and the moment rows,
+# and the update collapses to ONE scatter (XLA serializes row scatters
+# per index, so the walk COUNT is the cost model — see module docstring).
+LAZY_ROW_MATH = {
+    "adam": (lazy_adam_row_math, 2),
+    "adagrad": (lazy_adagrad_row_math, 1),
 }
 
 

@@ -92,11 +92,15 @@ def get_embedding_mode():
     return _MODE, _MESH
 
 
-def sharded_lookup(table, ids, mesh: Mesh, data_axis="data", embed_axis="embed"):
+def sharded_lookup(table, ids, mesh: Mesh, data_axis="data",
+                   embed_axis="embed", width=None):
     """table: [rows, dim] sharded P(embed, None); ids: int32 [...] sharded
     P(data, ...) -> values [..., dim] sharded P(data, ...).
 
     rows must divide evenly by the embed-axis size (pad tables when stacking).
+    ``width`` (packed [rows, (1+k)*D] tables): return only the first
+    ``width`` columns — sliced BEFORE the psum so only param columns ride
+    the interconnect.
     """
 
     def local_lookup(table_shard, ids_local):
@@ -106,6 +110,8 @@ def sharded_lookup(table, ids, mesh: Mesh, data_axis="data", embed_axis="embed")
         in_range = (local >= 0) & (local < S)
         safe = jnp.clip(local, 0, S - 1)
         vals = jnp.take(table_shard, safe, axis=0)
+        if width is not None:
+            vals = vals[..., :width]
         vals = jnp.where(in_range[..., None], vals, 0.0)
         return jax.lax.psum(vals, embed_axis)
 
@@ -223,13 +229,14 @@ def _dedup_route_layout(ids, E, S):
     return order, uniq_pos, uids, valid, send_sizes, in_off
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _a2a_lookup_local(table_shard, ids_local, embed_axis, E, data_axis):
-    out, _ = _a2a_fwd_core(table_shard, ids_local, embed_axis, E)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _a2a_lookup_local(table_shard, ids_local, embed_axis, E, data_axis,
+                      width=None):
+    out, _ = _a2a_fwd_core(table_shard, ids_local, embed_axis, E, width)
     return out
 
 
-def _a2a_fwd_core(table_shard, ids_local, embed_axis, E):
+def _a2a_fwd_core(table_shard, ids_local, embed_axis, E, width=None):
     S = table_shard.shape[0]
     shape = ids_local.shape
     ids = ids_local.reshape(-1)
@@ -248,9 +255,12 @@ def _a2a_fwd_core(table_shard, ids_local, embed_axis, E):
         uids, in_off, send_sizes, embed_axis, E, cap, recv_sizes=recv_sizes
     )
 
-    # 4. owner gathers its rows
+    # 4. owner gathers its rows (packed tables: only the first ``width``
+    # param columns leave the shard — the state columns never ride ICI)
     local_idx = jnp.clip(buf_ids - me * S, 0, S - 1)
     rows_buf = jnp.take(table_shard, local_idx, axis=0)  # [E*cap, D]
+    if width is not None:
+        rows_buf = rows_buf[:, :width]
 
     # 5. rows travel back, landing compactly at the requester's unique slots
     # (optionally in a narrower wire dtype — halves ICI bytes at bf16)
@@ -267,17 +277,18 @@ def _a2a_fwd_core(table_shard, ids_local, embed_axis, E):
     rows_sorted = jnp.take(urows, uniq_pos, axis=0)
     out = jnp.zeros_like(rows_sorted).at[order].set(rows_sorted)
     res = (order, uniq_pos, local_idx, recv_sizes, in_off, send_sizes,
-           off_from, S, n)
-    return out.reshape(shape + (table_shard.shape[1],)), res
+           off_from, S, n, table_shard.shape[1])
+    out_dim = table_shard.shape[1] if width is None else width
+    return out.reshape(shape + (out_dim,)), res
 
 
-def _a2a_fwd(table_shard, ids_local, embed_axis, E, data_axis):
-    return _a2a_fwd_core(table_shard, ids_local, embed_axis, E)
+def _a2a_fwd(table_shard, ids_local, embed_axis, E, data_axis, width=None):
+    return _a2a_fwd_core(table_shard, ids_local, embed_axis, E, width)
 
 
-def _a2a_bwd(embed_axis, E, data_axis, res, g):
+def _a2a_bwd(embed_axis, E, data_axis, width, res, g):
     (order, uniq_pos, local_idx, recv_sizes, in_off, send_sizes, off_from,
-     S, n) = res
+     S, n, W) = res
     D = g.shape[-1]
     g = g.reshape(-1, D)
     cap = n
@@ -297,6 +308,10 @@ def _a2a_bwd(embed_axis, E, data_axis, res, g):
     ).reshape(-1)
     g_buf = jnp.where(block_valid[:, None], g_buf, 0.0)
     d_table = jnp.zeros((S, D), g.dtype).at[local_idx].add(g_buf)
+    if D != W:
+        # width-sliced (packed) lookup: the state columns saw no forward
+        # read, so their cotangent is zero padding
+        d_table = jnp.pad(d_table, ((0, 0), (0, W - D)))
     # the table is replicated over the data axis: its cotangent is the sum of
     # every data-group's contribution (also establishes the replication the
     # shard_map transpose requires)
@@ -308,7 +323,7 @@ _a2a_lookup_local.defvjp(_a2a_fwd, _a2a_bwd)
 
 
 def sharded_lookup_a2a(table, ids, mesh: Mesh, data_axis="data",
-                       embed_axis="embed"):
+                       embed_axis="embed", width=None):
     """table: [rows, dim] sharded P(embed, None); ids: int32 [B, ...] ->
     values [B, ..., dim].
 
@@ -326,7 +341,7 @@ def sharded_lookup_a2a(table, ids, mesh: Mesh, data_axis="data",
     out_spec = P(both, *([None] * ids.ndim))
     return jax.shard_map(
         partial(_a2a_lookup_local, embed_axis=embed_axis, E=E,
-                data_axis=data_axis),
+                data_axis=data_axis, width=width),
         mesh=mesh,
         in_specs=(P(embed_axis, None), ids_spec),
         out_specs=out_spec,
@@ -340,7 +355,8 @@ def sharded_lookup_a2a(table, ids, mesh: Mesh, data_axis="data",
 
 def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
                             mesh: Mesh, lr, l1=0.0, l2=0.0,
-                            data_axis="data", embed_axis="embed"):
+                            data_axis="data", embed_axis="embed",
+                            packed_dim=None, row_math=None):
     """Run a lazy row-sparse optimizer update on a row-sharded table.
 
     ``table``/``state``: [rows, *] sharded P(embed, None); ``ids``: [N] int32
@@ -364,12 +380,21 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
 
     No full-table gradient, moment pass, or cross-shard table traffic ever
     materializes.  Returns (table_new, state_new), same shardings.
+
+    Packed layout (``packed_dim=D`` + ``row_math``): ``table`` is the
+    [rows, (1+k)*D] param|state array, ``state``/``row_update`` are unused
+    (pass None) — the shard-local update gathers the packed rows ONCE,
+    applies the pure row math, and writes ONE combined scatter.  Returns
+    just the new packed table.
     """
     E = mesh.shape[embed_axis]
 
-    def local(table_shard, state_shard, ids_loc, g_loc):
-        me = jax.lax.axis_index(embed_axis)
-        S = table_shard.shape[0]
+    def _merge_routed(ids_loc, g_loc, S, me):
+        """Steps 1-4 shared by both layouts: all_gather the occurrence
+        stream, dedup + route unique (id, grad-sum) pairs to their owning
+        shard, merge per-peer blocks.  Returns (sl, g_runs): sorted local
+        ids (padding id == S, dropped on write) and per-row gradient
+        totals."""
         # 1. identical inputs across data replicas
         ids_all = jax.lax.all_gather(ids_loc, data_axis, tiled=True)
         g_all = jax.lax.all_gather(g_loc, data_axis, tiled=True)
@@ -406,7 +431,45 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
         isf2 = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
         from ..optimizers import segment_run_sums
 
-        g_runs = segment_run_sums(gl, isf2)
+        return sl, segment_run_sums(gl, isf2)
+
+    both = (data_axis, embed_axis)
+
+    if packed_dim is not None:
+
+        def local_packed(table_shard, ids_loc, g_loc):
+            me = jax.lax.axis_index(embed_axis)
+            S = table_shard.shape[0]
+            sl, g_runs = _merge_routed(ids_loc, g_loc, S, me)
+            # ONE packed gather serves the forward-value reg gradient AND
+            # the optimizer state; ONE scatter writes both back
+            rows = table_shard.at[sl].get(
+                mode="clip", indices_are_sorted=True
+            )
+            p_rows = rows[:, :packed_dim]
+            st_rows = rows[:, packed_dim:]
+            if l2 > 0:
+                g_runs = g_runs + 2.0 * l2 * p_rows
+            if l1 > 0:
+                g_runs = g_runs + l1 * jnp.sign(p_rows)
+            p_new, st_new = row_math(p_rows, st_rows, g_runs, step, lr=lr)
+            return table_shard.at[sl].set(
+                jnp.concatenate([p_new, st_new], axis=1),
+                unique_indices=True, mode="drop", indices_are_sorted=True,
+            )
+
+        return jax.shard_map(
+            local_packed,
+            mesh=mesh,
+            in_specs=(P(embed_axis, None), P(both), P(both, None)),
+            out_specs=P(embed_axis, None),
+            check_vma=False,
+        )(table, ids, g_rows)
+
+    def local(table_shard, state_shard, ids_loc, g_loc):
+        me = jax.lax.axis_index(embed_axis)
+        S = table_shard.shape[0]
+        sl, g_runs = _merge_routed(ids_loc, g_loc, S, me)
         # one row gather serves the reg gradient AND the update itself
         # (row_update skips its internal table walk when p_rows is given);
         # duplicate positions read the identical pre-update value, so
@@ -426,7 +489,6 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
         )
         return p_new, s_new
 
-    both = (data_axis, embed_axis)
     return jax.shard_map(
         local,
         mesh=mesh,
@@ -439,11 +501,14 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
     )(table, state, ids, g_rows)
 
 
-def maybe_sharded_take(table, ids):
+def maybe_sharded_take(table, ids, width=None):
     """Dispatch used by EmbeddingCollection.lookup_ids: plain take under gspmd,
-    the shard_map / all_to_all kernels when enabled."""
+    the shard_map / all_to_all kernels when enabled.  ``width`` (packed
+    tables) returns only the first ``width`` columns, sliced shard-side in
+    the collective kernels so state columns never ride the interconnect."""
     if _MODE == "shard_map" and _MESH is not None:
-        return sharded_lookup(table, ids, _MESH)
+        return sharded_lookup(table, ids, _MESH, width=width)
     if _MODE == "all_to_all" and _MESH is not None:
-        return sharded_lookup_a2a(table, ids, _MESH)
-    return jnp.take(table, ids, axis=0)
+        return sharded_lookup_a2a(table, ids, _MESH, width=width)
+    out = jnp.take(table, ids, axis=0)
+    return out if width is None else out[..., :width]
