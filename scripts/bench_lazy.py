@@ -51,6 +51,12 @@ def bench(vocab, mode, opt="adam"):
         model.compile(opt, "binary_crossentropy", metrics=[],
                       embedding_optimizer="lazy", embedding_gradient="split",
                       embedding_layout="flat")
+    elif mode == "lazy_split_bf16":
+        # bf16 bit-packed moments: half the state HBM (104M-row ADAM fits
+        # one chip this way)
+        model.compile(opt, "binary_crossentropy", metrics=[],
+                      embedding_optimizer="lazy", embedding_gradient="split",
+                      embedding_state_dtype="bfloat16")
     else:
         raise ValueError(mode)
 

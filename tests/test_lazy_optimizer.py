@@ -299,6 +299,113 @@ def test_packed_weights_io_canonical(tmp_path):
                                rtol=1e-6)
 
 
+def test_bf16_state_packed_trains_and_tracks_f32():
+    """embedding_state_dtype='bfloat16': moments stored as bf16 pairs
+    bit-packed into fp32 columns (half the state HBM — the difference
+    between 104M-row adam fitting one chip or not).  Must learn, track the
+    fp32-state trajectory closely, and keep untouched rows frozen."""
+    x, y, cols = _varlen_data()
+    out = {}
+    for dt in ("float32", "bfloat16"):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient="split",
+                  embedding_state_dtype=dt)
+        h = m.fit(x, y, batch_size=32, epochs=3, verbose=0, shuffle=False)
+        out[dt] = (m, h.history["loss"])
+    mb, losses_b = out["bfloat16"]
+    mf, losses_f = out["float32"]
+    # packed width shrinks: adam k=2, D=8 -> 8 state slots instead of 16
+    assert mb.params["embedding_dict"]["table_d8"].shape[1] == 8 + 8
+    assert mf.params["embedding_dict"]["table_d8"].shape[1] == 8 + 16
+    assert losses_b[-1] < losses_b[0]
+    # trajectories track within bf16 moment-rounding tolerance
+    np.testing.assert_allclose(losses_b, losses_f, rtol=2e-3)
+    np.testing.assert_allclose(
+        mb.predict(x, 64), mf.predict(x, 64), rtol=0.02, atol=2e-4
+    )
+
+
+def test_bf16_state_untouched_rows_frozen():
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile("adagrad", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split",
+              embedding_state_dtype="bfloat16")
+    # adagrad k=1, D=8 -> 4 bf16-pair slots
+    assert m.params["embedding_dict"]["table_d8"].shape[1] == 8 + 4
+    before = np.asarray(m.params["embedding_dict"]["table_d8"]).copy()
+    xb = {f"C{i}": np.array([0, 1, 0, 1]) for i in range(4)}
+    xb["I0"] = np.zeros(4, np.float32)
+    yb = np.array([0, 1, 0, 1], np.float32)
+    m.fit(xb, yb, batch_size=4, epochs=1, verbose=0, shuffle=False)
+    after = np.asarray(m.params["embedding_dict"]["table_d8"])
+    for feat_idx in range(4):
+        off = feat_idx * 64
+        assert not np.allclose(after[off : off + 2], before[off : off + 2])
+        np.testing.assert_array_equal(
+            after[off + 2 : off + 64], before[off + 2 : off + 64]
+        )
+
+
+def test_bf16_state_checkpoint_cross_format(tmp_path):
+    """bf16-packed checkpoints are written fp32-canonical: they load into a
+    flat fp32 model (decoded moments) and back (re-encoded) losslessly for
+    bf16-representable states."""
+    x, y, cols = _varlen_data()
+
+    def build(layout, dt):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient="split",
+                  embedding_layout=layout, embedding_state_dtype=dt)
+        return m
+
+    m1 = build("packed", "bfloat16")
+    m1.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+    p = str(tmp_path / "c.bin")
+    m1.save_checkpoint(p, epoch=1)
+    # -> flat fp32 model: moments arrive decoded
+    m2 = build("flat", "float32")
+    assert m2.load_checkpoint(p) == 1
+    np.testing.assert_allclose(m2.predict(x, 64), m1.predict(x, 64),
+                               rtol=1e-6)
+    st_flat = np.asarray(
+        m2.opt_state["lazy"]["embedding_dict/table_d8"]
+    )
+    st_packed = np.asarray(m1.params["embedding_dict"]["table_d8"][:, 8:])
+    from xdeepfm_tpu.optimizers import decode_state
+    import jax.numpy as jnp
+
+    np.testing.assert_array_equal(
+        st_flat,
+        np.asarray(decode_state(jnp.asarray(st_packed), 16, jnp.bfloat16)),
+    )
+    # -> back into a bf16-packed model: bit-identical state storage
+    m3 = build("packed", "bfloat16")
+    assert m3.load_checkpoint(p) == 1
+    np.testing.assert_array_equal(
+        np.asarray(m3.params["embedding_dict"]["table_d8"]),
+        np.asarray(m1.params["embedding_dict"]["table_d8"]),
+    )
+
+
+def test_bf16_state_requires_packed_split():
+    import pytest
+
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    with pytest.raises(ValueError):
+        m.compile("adam", "binary_crossentropy", metrics=[],
+                  embedding_optimizer="lazy", embedding_gradient="split",
+                  embedding_layout="flat",
+                  embedding_state_dtype="bfloat16")
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    with pytest.raises(ValueError):
+        m2.compile("adam", "binary_crossentropy", metrics=[],
+                   embedding_state_dtype="bfloat16")
+
+
 def test_embedding_optimizer_auto_small_tables_dense():
     x, y, cols = _data()
     m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)

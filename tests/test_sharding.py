@@ -527,7 +527,7 @@ def test_pro_remat_training_step_on_mesh_a2a():
     _step_parity_single_vs_mesh(_tiny_pro_model, embedding_mode="all_to_all")
 
 
-def _tiny_lazy_model_and_batch(seed=3, layout="auto"):
+def _tiny_lazy_model_and_batch(seed=3, layout="auto", state_dtype="float32"):
     """Same tiny xDeepFM, compiled with the lazy row-sparse optimizer in
     gradient-split mode — the pod-capacity composition (SURVEY.md §7 M3).
     Default layout 'auto' = packed [rows, 3D] param|m|v tables."""
@@ -545,14 +545,17 @@ def _tiny_lazy_model_and_batch(seed=3, layout="auto"):
     )
     model.compile("adam", "binary_crossentropy", metrics=[],
                   embedding_optimizer="lazy", embedding_gradient="split",
-                  embedding_layout=layout)
+                  embedding_layout=layout, embedding_state_dtype=state_dtype)
     return model, model.schema.pack(x), y
 
 
-def _lazy_mesh_parity(embedding_mode="gspmd", steps=2, layout="auto"):
+def _lazy_mesh_parity(embedding_mode="gspmd", steps=2, layout="auto",
+                      state_dtype="float32"):
     """Lazy+split training on the mesh (shard-local row updates) == the same
     steps un-sharded.  Runs >1 step so the per-shard moment states carry."""
-    model1, batch, y = _tiny_lazy_model_and_batch(layout=layout)
+    model1, batch, y = _tiny_lazy_model_and_batch(
+        layout=layout, state_dtype=state_dtype
+    )
     yb = jnp.asarray(y[:, None])
     mask = jnp.ones((len(y),), jnp.float32)
     xb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -562,7 +565,9 @@ def _lazy_mesh_parity(embedding_mode="gspmd", steps=2, layout="auto"):
             p1, bs1, o1, xb, yb, mask, s
         )
 
-    model2, batch2, y2 = _tiny_lazy_model_and_batch(layout=layout)
+    model2, batch2, y2 = _tiny_lazy_model_and_batch(
+        layout=layout, state_dtype=state_dtype
+    )
     mesh = make_mesh(8)
     try:
         with mesh:
@@ -629,6 +634,13 @@ def test_lazy_split_training_on_mesh_a2a_lookup():
     """Compact-row gathers ride the all_to_all exchange (packed tables ship
     only their param columns over the wire); updates stay shard-local."""
     _lazy_mesh_parity(embedding_mode="all_to_all")
+
+
+def test_lazy_split_training_on_mesh_bf16_state():
+    """bf16 bit-packed moments in the shard-local packed update: sharded ==
+    un-sharded with the same state dtype (both round moments to bf16, so
+    parity stays tight)."""
+    _lazy_mesh_parity(state_dtype="bfloat16")
 
 
 def test_a2a_bf16_comm_dtype(mesh, rng):

@@ -242,7 +242,7 @@ class BaseModel:
     def compile(self, optimizer, loss=None, metrics=None, lr=None,
                 embedding_optimizer="dense", matmul_precision=None,
                 embedding_gradient="auto", fused_lookup="auto",
-                embedding_layout="auto"):
+                embedding_layout="auto", embedding_state_dtype="float32"):
         """String (or optax GradientTransformation) optimizer, string loss
         name(s), metric-name list (``basemodel.py:433-445``).
 
@@ -287,6 +287,14 @@ class BaseModel:
         The packed layout is internal: get/set_weights, checkpoints, and
         predict all speak the canonical table_d{d} format (checkpoints are
         byte-compatible across layouts).
+
+        embedding_state_dtype (packed layout only): 'bfloat16' stores the
+        optimizer's row state as bf16 pairs bit-packed into fp32 columns —
+        half the state HBM (104M-row ADAM fits one 16 GiB chip this way;
+        fp32 m|v cannot).  Row math still runs in fp32 each step; moments
+        round to bf16 between steps, perturbing trajectories slightly.
+        Checkpoints stay fp32-canonical (decoded on save, re-encoded on
+        load).  Default 'float32' = exact.
         """
         self._matmul_precision = matmul_precision
         if self._packed_tables:
@@ -294,6 +302,19 @@ class BaseModel:
             self._unpack_params()
         if embedding_layout not in ("auto", "packed", "flat"):
             raise ValueError(embedding_layout)
+        state_dt = jnp.dtype(
+            {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
+                embedding_state_dtype, embedding_state_dtype
+            )
+        )
+        if state_dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            raise ValueError(embedding_state_dtype)
+        if state_dt == jnp.dtype(jnp.bfloat16) and embedding_layout == "flat":
+            raise ValueError(
+                "embedding_state_dtype='bfloat16' requires the packed "
+                "embedding_layout"
+            )
+        self._packed_state_dtype = state_dt
         if embedding_gradient not in ("auto", "dense", "split"):
             raise ValueError(embedding_gradient)
         if embedding_gradient == "auto":
@@ -386,6 +407,11 @@ class BaseModel:
             and self._lazy_split
         ):
             self._pack_params()
+        elif self._packed_state_dtype == jnp.dtype(jnp.bfloat16):
+            raise ValueError(
+                "embedding_state_dtype='bfloat16' requires lazy+split "
+                "(packed layout) — nothing was packed under this config"
+            )
         self._init_opt_state()
         self._build_steps()
 
@@ -398,15 +424,18 @@ class BaseModel:
         ``self._packed_tables = {path: (dim, k)}``."""
         import os
 
-        from .optimizers import LAZY_ROW_MATH
+        from .optimizers import LAZY_ROW_MATH, state_slots
 
         _, k = LAZY_ROW_MATH[self._lazy_kind]
+        state_dt = self._packed_state_dtype
 
+        # zero state columns are a valid encoding in EVERY state dtype
+        # (bf16 pairs of zeros bitcast to fp32 zero columns)
         @partial(jax.jit, static_argnums=1)
-        def _pack(table, k_):
-            rows, dim = table.shape
+        def _pack(table, slots):
+            rows = table.shape[0]
             return jnp.concatenate(
-                [table, jnp.zeros((rows, k_ * dim), table.dtype)], axis=1
+                [table, jnp.zeros((rows, slots), table.dtype)], axis=1
             )
 
         def _padded_bytes(rows, w):
@@ -431,11 +460,12 @@ class BaseModel:
             p: _padded_bytes(*_tree_get(params, p).shape) for p in order
         }
         budget = float(os.environ.get("XDEEPFM_HBM_BUDGET", 16 * 2**30))
+        big = _tree_get(params, order[0])
         peak = (
             sizes[order[0]]
             + _padded_bytes(
-                _tree_get(params, order[0]).shape[0],
-                (1 + k) * _tree_get(params, order[0]).shape[1],
+                big.shape[0],
+                big.shape[1] + state_slots(k * big.shape[1], state_dt),
             )
             + sum(sizes[p] for p in order[1:])
         )
@@ -452,7 +482,7 @@ class BaseModel:
             else:
                 table = _tree_get(params, path)
             dim = table.shape[1]
-            new = _pack(table, k)
+            new = _pack(table, state_slots(k * dim, state_dt))
             new.block_until_ready()
             # the old buffer is NOT freed by tracing/donation (shape
             # mismatch makes donation unusable) — release it explicitly or
@@ -470,13 +500,19 @@ class BaseModel:
         Returns {path: state [rows, k*dim]} holding the row states that were
         packed alongside (``lazy_state`` overrides per path, for checkpoint
         load)."""
+        from .optimizers import decode_state
+
         states = {}
         params = self.params
         for path, (dim, k) in self._packed_tables.items():
             packed = _tree_get(params, path)
             states[path] = (
                 lazy_state[path] if lazy_state is not None
-                else np.asarray(packed[:, dim:])
+                else np.asarray(
+                    decode_state(
+                        packed[:, dim:], k * dim, self._packed_state_dtype
+                    )
+                )
             )
             table = packed[:, :dim]
             try:
@@ -661,9 +697,12 @@ class BaseModel:
                 segment_run_sums,
             )
 
+            from .optimizers import decode_state, encode_state
+
             _, lazy_row_update, _ = LAZY_OPTIMIZERS[self._lazy_kind]
             lazy_row_math, _ = LAZY_ROW_MATH[self._lazy_kind]
             lazy_lr = self._lazy_lr
+            state_dtype = getattr(self, "_packed_state_dtype", None)
         fused_groups = list(getattr(self, "_fused_dense_groups", ()))
         if fused_groups:
             from .embeddings import fused_gather, touched_ids
@@ -878,6 +917,8 @@ class BaseModel:
                                 None, get_active_mesh(), lr=lazy_lr,
                                 l1=l1, l2=l2, packed_dim=packed[path][0],
                                 row_math=lazy_row_math,
+                                state_mult=packed[path][1],
+                                state_dtype=state_dtype,
                             )
                             new_params = _tree_set(new_params, path, p_new)
                             continue
@@ -909,12 +950,14 @@ class BaseModel:
                         if path in packed:
                             # the packed forward gather already holds the
                             # row state columns — reuse, no state gather
-                            D, _ = packed[path]
+                            D, k_ = packed[path]
                             rows_sorted = jnp.take(
                                 packed_rows[path], order, axis=0
                             )
                             p_rows = rows_sorted[:, :D]
-                            st_rows = rows_sorted[:, D:]
+                            st_rows = decode_state(
+                                rows_sorted[:, D:], k_ * D, state_dtype
+                            )
                         else:
                             p_rows = jnp.take(
                                 compact_rows[path], order, axis=0
@@ -939,7 +982,11 @@ class BaseModel:
                         )
                         p_new = _row_set(
                             p_arr, ids,
-                            jnp.concatenate([p_rows_new, st_new], axis=1),
+                            jnp.concatenate(
+                                [p_rows_new,
+                                 encode_state(st_new, state_dtype)],
+                                axis=1,
+                            ),
                             ids_sorted,
                         )
                         new_params = _tree_set(new_params, path, p_new)
@@ -1626,12 +1673,17 @@ class BaseModel:
         in-array row state is surfaced as ``opt_state['lazy'][path]``
         ([rows, k*dim]), exactly as the flat layout stores it — so
         checkpoints are byte-compatible across embedding_layout settings."""
+        from .optimizers import decode_state
+
         opt = self.opt_state
         if not self._packed_tables or not isinstance(opt, dict):
             return opt
         lazy = dict(opt.get("lazy", {}))
-        for path, (D, _) in self._packed_tables.items():
-            lazy[path] = _tree_get(self.params, path)[:, D:]
+        for path, (D, k) in self._packed_tables.items():
+            lazy[path] = decode_state(
+                _tree_get(self.params, path)[:, D:], k * D,
+                self._packed_state_dtype,
+            )
         return {**opt, "lazy": lazy}
 
     def save_checkpoint(self, path, epoch=0):
@@ -1670,17 +1722,24 @@ class BaseModel:
         params = state["params"]
         opt = state["opt_state"]
         if self._packed_tables:
-            # reassemble the packed layout from the canonical checkpoint —
-            # HOST-side (from_bytes returns numpy), so the device never
-            # holds table + state + packed result at once at capacity
+            # reassemble the packed layout from the canonical (fp32)
+            # checkpoint — HOST-side for the fp32 layout (from_bytes
+            # returns numpy; the device never holds table + state + packed
+            # result at once at capacity); bf16 state re-encodes on device
+            from .optimizers import encode_state
+
+            dt = self._packed_state_dtype
             lazy = dict(opt["lazy"])
-            for path, (D, _) in self._packed_tables.items():
+            for path, (D, k) in self._packed_tables.items():
+                st = lazy.pop(path)
+                if jnp.dtype(dt) == jnp.dtype(jnp.bfloat16):
+                    st = np.asarray(encode_state(jnp.asarray(st), dt))
                 params = _tree_set(
                     params,
                     path,
                     np.concatenate(
                         [np.asarray(_tree_get(params, path)),
-                         np.asarray(lazy.pop(path))],
+                         np.asarray(st)],
                         axis=1,
                     ),
                 )

@@ -99,6 +99,26 @@ def base_arg_parser() -> argparse.ArgumentParser:
         "vocabularies; 'auto' picks by table size (>=30M rows -> lazy)",
     )
     p.add_argument(
+        "--embedding_gradient", type=str, default="auto",
+        choices=["auto", "dense", "split"],
+        help="lazy mode: 'split' cuts autodiff at the lookup boundary so no "
+        "full-table cotangent materializes; 'auto' = split on one device",
+    )
+    p.add_argument(
+        "--embedding_layout", type=str, default="auto",
+        choices=["auto", "packed", "flat"],
+        help="lazy+split table storage: 'packed' = param|state in one "
+        "[rows, (1+k)*dim] array (one gather + one scatter per step); "
+        "'auto' = packed whenever lazy+split",
+    )
+    p.add_argument(
+        "--embedding_state_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="packed layout: store optimizer row state as bf16 pairs "
+        "bit-packed into fp32 columns (half the state HBM; 104M-row adam "
+        "fits one 16 GiB chip)",
+    )
+    p.add_argument(
         "--streaming", action="store_true",
         help="out-of-core training: fit preprocessors in one streaming pass "
         "and train via fit_stream without loading the train file into "

@@ -25,6 +25,11 @@ def build_model(args, linear_cols, dnn_cols, final_mode=False):
         metrics=[] if final_mode else ["binary_crossentropy", "auc"],
         lr=args.learning_rate,
         embedding_optimizer=getattr(args, "embedding_optimizer", "dense"),
+        embedding_gradient=getattr(args, "embedding_gradient", "auto"),
+        embedding_layout=getattr(args, "embedding_layout", "auto"),
+        embedding_state_dtype=getattr(
+            args, "embedding_state_dtype", "float32"
+        ),
     )
     return model
 

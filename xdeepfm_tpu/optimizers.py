@@ -133,6 +133,50 @@ LAZY_ROW_MATH = {
 }
 
 
+# ---------------------------------------------------------------------------
+# bf16 optimizer-state codec for the packed layout.
+#
+# With compile(embedding_state_dtype='bfloat16') the k*D state values are
+# stored as bf16 PAIRS bit-packed into ceil(k*D/2) fp32 columns of the packed
+# array (param columns stay fp32).  This halves the state's HBM footprint —
+# the difference between 104M-row Adam fitting one 16 GiB chip or not: fp32
+# m|v would need [104M, 30] -> padded 32 -> 13.3 GB before counting the
+# param columns, bf16 packs the same table into [104M, 20] -> 24 -> 9.98 GB.
+# Moment rounding to bf16 (8 mantissa bits) perturbs trajectories slightly;
+# the row MATH still runs in fp32 every step.
+# ---------------------------------------------------------------------------
+
+
+def state_slots(k_d: int, dtype) -> int:
+    """fp32 columns needed for k_d state values in ``dtype``."""
+    if dtype is None or jnp.dtype(dtype) == jnp.float32:
+        return k_d
+    assert jnp.dtype(dtype) == jnp.bfloat16, dtype
+    return -(-k_d // 2)
+
+
+def encode_state(st, dtype):
+    """[N, k_d] fp32 state -> [N, slots] fp32 storage columns."""
+    if dtype is None or jnp.dtype(dtype) == jnp.float32:
+        return st
+    n, k_d = st.shape
+    b = st.astype(jnp.bfloat16)
+    if k_d % 2:
+        b = jnp.pad(b, ((0, 0), (0, 1)))
+    return jax.lax.bitcast_convert_type(
+        b.reshape(n, -1, 2), jnp.float32
+    )
+
+
+def decode_state(cols, k_d: int, dtype):
+    """[N, slots] fp32 storage columns -> [N, k_d] fp32 state."""
+    if dtype is None or jnp.dtype(dtype) == jnp.float32:
+        return cols
+    n = cols.shape[0]
+    b = jax.lax.bitcast_convert_type(cols, jnp.bfloat16)  # [N, slots, 2]
+    return b.reshape(n, -1)[:, :k_d].astype(jnp.float32)
+
+
 def segment_run_sums(sorted_vals, is_first):
     """Per-occurrence run totals over sorted segments, without a scatter:
     every position k in a run of equal sorted ids receives the SUM of the

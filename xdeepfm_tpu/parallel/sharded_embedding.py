@@ -356,7 +356,8 @@ def sharded_lookup_a2a(table, ids, mesh: Mesh, data_axis="data",
 def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
                             mesh: Mesh, lr, l1=0.0, l2=0.0,
                             data_axis="data", embed_axis="embed",
-                            packed_dim=None, row_math=None):
+                            packed_dim=None, row_math=None,
+                            state_mult=None, state_dtype=None):
     """Run a lazy row-sparse optimizer update on a row-sharded table.
 
     ``table``/``state``: [rows, *] sharded P(embed, None); ``ids``: [N] int32
@@ -437,6 +438,10 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
 
     if packed_dim is not None:
 
+        from ..optimizers import decode_state, encode_state
+
+        k_d = (state_mult or 1) * packed_dim
+
         def local_packed(table_shard, ids_loc, g_loc):
             me = jax.lax.axis_index(embed_axis)
             S = table_shard.shape[0]
@@ -447,14 +452,16 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
                 mode="clip", indices_are_sorted=True
             )
             p_rows = rows[:, :packed_dim]
-            st_rows = rows[:, packed_dim:]
+            st_rows = decode_state(rows[:, packed_dim:], k_d, state_dtype)
             if l2 > 0:
                 g_runs = g_runs + 2.0 * l2 * p_rows
             if l1 > 0:
                 g_runs = g_runs + l1 * jnp.sign(p_rows)
             p_new, st_new = row_math(p_rows, st_rows, g_runs, step, lr=lr)
             return table_shard.at[sl].set(
-                jnp.concatenate([p_new, st_new], axis=1),
+                jnp.concatenate(
+                    [p_new, encode_state(st_new, state_dtype)], axis=1
+                ),
                 unique_indices=True, mode="drop", indices_are_sorted=True,
             )
 
