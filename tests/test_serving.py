@@ -92,6 +92,31 @@ def test_scorer_pro_forward_only():
     assert np.all((got >= 0) & (got <= 1))
 
 
+def test_scorer_on_sharded_model():
+    """Scorer over a shard_model_state'd model: scoring through the jitted
+    predict step with row-sharded tables == the un-sharded scorer."""
+    import jax
+
+    from xdeepfm_tpu.parallel import make_mesh, shard_model_state
+    from xdeepfm_tpu.parallel.mesh import set_active_mesh
+
+    build, x, y = _make()
+    m = build()
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    expect = Scorer(m, batch_size=128).score(x)
+
+    m2 = build()
+    m2.set_weights(m.get_weights())
+    mesh = make_mesh(8)
+    try:
+        with mesh:
+            shard_model_state(m2, mesh)
+            got = Scorer(m2, batch_size=128).warmup().score(x)
+    finally:
+        set_active_mesh(None)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-7)
+
+
 def test_load_scorer_from_cli_artifacts(tmp_path):
     """The persisted-artifact inference story end to end
     (reference ``xdftrain.py:454-495``): train via the CLI, then rebuild a
