@@ -390,6 +390,30 @@ def test_bf16_state_checkpoint_cross_format(tmp_path):
     )
 
 
+def test_bf16_state_odd_dim_adagrad():
+    """Odd k*D exercises the codec's bf16 pad slot: D=5, adagrad k=1 ->
+    3 fp32 storage columns (5 bf16 values + 1 pad)."""
+    rng = np.random.default_rng(0)
+    n, vocab = 256, 64
+    x = {f"C{i}": rng.integers(0, vocab, n) for i in range(4)}
+    x["I0"] = rng.uniform(0, 1, n).astype(np.float32)
+    y = (x["C0"] % 2).astype(np.float32)
+    cols = [SparseFeat(f"C{i}", vocab, 5) for i in range(4)] + [
+        DenseFeat("I0")
+    ]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    m.compile("adagrad", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split",
+              embedding_state_dtype="bfloat16")
+    assert m.params["embedding_dict"]["table_d5"].shape[1] == 5 + 3
+    h = m.fit(x, y, batch_size=64, epochs=3, verbose=0)
+    assert h.history["loss"][-1] < h.history["loss"][0]
+    # canonical state decodes to the right width
+    st = m._canonical_opt_state()["lazy"]["embedding_dict/table_d5"]
+    assert st.shape[1] == 5
+    assert np.isfinite(np.asarray(st)).all()
+
+
 def test_bf16_state_requires_packed_split():
     import pytest
 
