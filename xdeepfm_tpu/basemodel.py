@@ -37,9 +37,14 @@ from .metrics import DEVICE_METRICS, HOST_METRICS
 
 # embedding_optimizer='auto' crossover: stacked tables at or above this many
 # rows train lazily (row-sparse updates), below it dense streaming wins —
-# measured on v5e (BASELINE.md "Embedding-optimizer regimes"); module-level so
-# deployments on other HBM/bandwidth envelopes (and tests) can tune it.
-AUTO_LAZY_MIN_ROWS = 30_000_000
+# measured on v5e (BASELINE.md "Embedding-optimizer regimes").  The round-5
+# packed param|state layout made the lazy step table-size-INDEPENDENT
+# (~34 ms at 10M and 100M rows alike: two serialized row walks + compute),
+# moving the crossover down from ~30-50M to ~15M rows (same-process pairs:
+# dense 26.6 vs packed 35.0 ms at 10.4M; dense 37.9 vs packed 34.0 at
+# 20.8M).  Module-level so deployments on other HBM/bandwidth envelopes
+# (and tests) can tune it.
+AUTO_LAZY_MIN_ROWS = 15_000_000
 
 
 def _loss_fn_single(name):
