@@ -56,6 +56,27 @@ def test_multitask_trains(name):
     assert res["auc"] > 0.52  # macro-average over the two tasks
 
 
+def test_multitask_with_lazy_packed_embeddings():
+    """Loss-list multitask step composed with the lazy+split packed-table
+    optimizer (per-task sum-BCE grads flow into one occurrence block)."""
+    x, y, cols = make_data()
+    model = M.MMOE(
+        cols, num_experts=2, expert_dnn_hidden_units=(8,),
+        gate_dnn_hidden_units=(4,), tower_dnn_hidden_units=(4,),
+    )
+    model.compile(
+        "adam", ["binary_crossentropy", "binary_crossentropy"], metrics=[],
+        lr=0.01, embedding_optimizer="lazy", embedding_gradient="split",
+    )
+    assert model._packed_tables, "packed layout expected"
+    hist = model.fit(x, y, batch_size=64, epochs=6, verbose=0)
+    losses = hist.history["loss"]
+    assert losses[-1] < losses[0]
+    pred = model.predict(x, batch_size=100)
+    assert pred.shape == (len(y), 2)
+    assert np.all(np.isfinite(pred))
+
+
 @pytest.mark.parametrize("version", [1, 2])
 def test_xdeepfm_attention(version):
     x, y, cols = make_data()

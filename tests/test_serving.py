@@ -64,6 +64,26 @@ def test_scorer_varlen_din():
     assert got.shape == (len(y), 1)
 
 
+def test_scorer_varlen_dien():
+    """Scorer over DIEN: the lax.scan recurrence + negsampling aux path in
+    forward-only scoring must match model.predict."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_sequence_models import make_seq_data
+
+    from xdeepfm_tpu.models import DIEN
+
+    x, y, cols = make_seq_data(n=200, vocab=12, maxlen=6, with_neg=True)
+    m = DIEN(cols, ["item"], gru_type="AUGRU", use_negsampling=True,
+             dnn_hidden_units=(16, 8), att_hidden_units=(8,))
+    m.compile("adam", "binary_crossentropy", metrics=[])
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    expect = m.predict(x, 128)
+    got = Scorer(m, batch_size=128).warmup().score(x)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
 def test_scorer_pro_forward_only():
     """xDeepFMPro's scorer: the forward-only path must skip the SFG decoder
     heads cleanly (no labels / sample_mask in a scoring batch) and match
