@@ -414,6 +414,34 @@ def test_bf16_state_odd_dim_adagrad():
     assert np.isfinite(np.asarray(st)).all()
 
 
+def test_pack_spill_path_correct(monkeypatch):
+    """At the HBM capacity edge _pack_params spills the smaller canonical
+    tables to host while the largest packs (BASELINE.md round-5).  Force the
+    path with a tiny budget and assert the packed result is identical to
+    the no-spill pack."""
+    x, y, cols = _data()
+
+    def build():
+        return DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+
+    m1 = build()
+    m1.compile("adam", "binary_crossentropy", metrics=[],
+               embedding_optimizer="lazy", embedding_gradient="split")
+    monkeypatch.setenv("XDEEPFM_HBM_BUDGET", "1")  # everything spills
+    m2 = build()
+    m2.compile("adam", "binary_crossentropy", metrics=[],
+               embedding_optimizer="lazy", embedding_gradient="split")
+    assert m1._packed_tables == m2._packed_tables
+    for p, w in jax.tree_util.tree_flatten_with_path(m1.params)[0]:
+        w2 = m2.params
+        for seg in [str(getattr(k, "key", k)) for k in p]:
+            w2 = w2[seg]
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
+    # and the spilled-pack model trains normally
+    h = m2.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+
+
 def test_bf16_state_requires_packed_split():
     import pytest
 
