@@ -193,6 +193,35 @@ def test_ragged_matches_dense_emulation_branch(mesh, rng):
     np.testing.assert_array_equal(ragged, dense)
 
 
+def test_ragged_lookup_wide_embed_axis(ragged_emulated, rng):
+    """E=4 owner shards (data=2): more peers per exchange — offsets and
+    block layouts must still land exactly."""
+    mesh = make_mesh(8, embed_axis=4)
+    rows, dim = 64, 8
+    table = rng.normal(size=(rows, dim)).astype(np.float32)
+    ids = rng.integers(0, rows, size=(16, 5)).astype(np.int32)
+    table_d = jax.device_put(
+        jnp.asarray(table), NamedSharding(mesh, P("embed", None))
+    )
+    ids_d = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh, P("data", None))
+    )
+    set_embedding_mode("all_to_all", mesh, ragged=True)
+    got = jax.jit(lambda t, i: sharded_lookup_a2a(t, i, mesh))(table_d, ids_d)
+    np.testing.assert_allclose(np.asarray(got), table[ids], rtol=1e-6)
+
+    def loss(t):
+        return jnp.sum(sharded_lookup_a2a(t, ids_d, mesh) ** 2)
+
+    g = jax.jit(jax.grad(loss))(table_d)
+    g_plain = jax.grad(
+        lambda t: jnp.sum(jnp.take(t, jnp.asarray(ids), axis=0) ** 2)
+    )(jnp.asarray(table))
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_plain), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_ragged_lazy_sharded_training_matches_single_device(ragged_emulated):
     """Full lazy+split sharded training with the ragged branch forced: the
     compact-row gathers AND sharded_lazy_row_update's two block exchanges
