@@ -30,6 +30,11 @@ def main():
     pid, nproc, port, out_dir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
     )
+    # "dense" (default) or "lazy_packed": the round-sparse optimizer with
+    # the packed param|state layout — its shard-local row update (dedup +
+    # block exchange over the embed axis) then runs across REAL process
+    # boundaries
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dense"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ["XDEEPFM_NUM_PROCESSES"] = str(nproc)
     os.environ["XDEEPFM_COORDINATOR"] = f"localhost:{port}"
@@ -58,12 +63,19 @@ def main():
     model, _ = g._build_model(
         n_sparse=4, n_dense=3, vocab=64, emb_dim=8, cin=(8, 6), dnn=(16,)
     )
-    model.compile("adam", "binary_crossentropy", metrics=[])
+    if mode == "lazy_packed":
+        model.compile("adam", "binary_crossentropy", metrics=[],
+                      embedding_optimizer="lazy",
+                      embedding_gradient="split")
+    else:
+        model.compile("adam", "binary_crossentropy", metrics=[])
 
     mesh = make_mesh()  # all 2*nproc global devices -> (data, embed)
     assert mesh.shape["embed"] > 1, "tables must actually shard"
     with mesh:
         shard_model_state(model, mesh)
+        if mode == "lazy_packed":
+            assert model._packed_tables, "packed layout expected"
         batch_np = g._make_batch(model, B_GLOBAL, 64, seed=0)
         y_all = (
             np.random.default_rng(1)
@@ -96,8 +108,12 @@ def main():
             multihost_utils.process_allgather(leaf, tiled=True)
         )
     flat["__total"] = np.float32(total)
-    np.savez(os.path.join(out_dir, f"engine_params_{pid}.npz"), **flat)
-    print(f"[engine worker {pid}] OK total={total:.6f}", flush=True)
+    suffix = "" if mode == "dense" else f"_{mode}"
+    np.savez(
+        os.path.join(out_dir, f"engine_params_{pid}{suffix}.npz"), **flat
+    )
+    print(f"[engine worker {pid}] OK mode={mode} total={total:.6f}",
+          flush=True)
 
 
 if __name__ == "__main__":
