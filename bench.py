@@ -287,7 +287,7 @@ def child_main(state_path):
     # BENCH_MODELS (e.g. BENCH_MODELS=pro or BENCH_MODELS= for none).
     extras = [
         s for s in os.environ.get(
-            "BENCH_MODELS", "pro,attn,dien,serve,attn2,serve_pro"
+            "BENCH_MODELS", "pro,attn,dien,serve,attn2,serve_pro,lazy104"
         ).split(",")
         if s
     ]
@@ -433,7 +433,52 @@ def child_main(state_path):
                 "mode": "predict (serving.Scorer path)",
             }
 
+        def measure_lazy104():
+            """Capacity headline: 104M-row (26 x 4M-vocab) tables, lazy
+            row-sparse adagrad with the packed param|state layout — only
+            touched rows are read/written (one gather + one scatter per
+            table per step), so table size stops mattering to step time.
+            Dense optimizers cannot hold this configuration at all.
+
+            Runs in a SUBPROCESS: packing the tables transiently peaks at
+            ~16.6 GB of HBM (BASELINE.md round-5), which needs a clean
+            arena — this bench process already holds the other models'
+            state."""
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "scripts", "bench_lazy.py",
+                    ),
+                    "4000000", "adagrad", "lazy_split",
+                ],
+                capture_output=True, text=True, timeout=1200,
+            )
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    row = json.loads(line)
+                    row["mode"] = (
+                        "lazy+split packed adagrad (capacity headline; "
+                        "dense optimizers OOM at this size)"
+                    )
+                    return row
+            raise RuntimeError(
+                f"no JSON from bench_lazy (rc {out.returncode}): "
+                f"{(out.stdout + out.stderr)[-200:]}"
+            )
+
         for name in extras:
+            if name == "lazy104":
+                try:
+                    result["extra_models"]["lazy104"] = measure_lazy104()
+                except Exception as e:
+                    result["extra_models"]["lazy104"] = {
+                        "error": repr(e)[:160]
+                    }
+                _write_state(state_path, {"stage": "extras", "result": result})
+                continue
             if name in ("serve", "serve_pro"):
                 try:
                     if name == "serve":
