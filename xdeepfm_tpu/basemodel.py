@@ -1754,6 +1754,88 @@ class BaseModel:
         self.opt_state = jax.tree.map(jnp.asarray, opt)
         return int(state["epoch"])
 
+    # ------------------------------------------------- sharded checkpoints
+
+    def save_checkpoint_sharded(self, path, epoch=0):
+        """Orbax/tensorstore checkpoint that writes each array SHARD from
+        the devices that hold it — no host gather, no single-host staging
+        of a 100M-row table (the flax-serialization
+        :meth:`save_checkpoint` assembles everything on one host, which is
+        the right portable format but the wrong mechanics at pod scale).
+
+        Saves the LIVE representation (including the packed param|state
+        layout and its shardings); restore into an identically-configured
+        and identically-sharded model via :meth:`load_checkpoint_sharded`.
+        For cross-layout / cross-topology portability use the canonical
+        :meth:`save_checkpoint` instead.  SURVEY.md §5 (checkpoint/resume:
+        "Orbax-style checkpoint of params + optimizer state")."""
+        assert self._compiled, "compile() before save_checkpoint_sharded()"
+        import os
+
+        import orbax.checkpoint as ocp
+
+        state = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        p = os.path.abspath(path)
+        ckptr.save(p, state, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint_sharded(self, path):
+        """Restore a :meth:`save_checkpoint_sharded` checkpoint directly
+        into the live model's shardings — each host/device reads only its
+        own shards.  Returns the saved epoch."""
+        assert self._compiled, "compile() before load_checkpoint_sharded()"
+        import os
+
+        import orbax.checkpoint as ocp
+
+        state = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "epoch": jnp.asarray(0, jnp.int32),
+        }
+
+        from .parallel.mesh import get_active_mesh
+
+        mesh = get_active_mesh()
+
+        def as_abstract(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                sharding = getattr(x, "sharding", None)
+                if mesh is not None and (
+                    sharding is None
+                    or getattr(sharding, "device_set", None)
+                    != set(mesh.devices.flat)
+                ):
+                    # a freshly-initialized leaf (e.g. optax's step counter)
+                    # may sit on one device while the model state spans the
+                    # mesh — restore it REPLICATED so the train step sees
+                    # one consistent device set
+                    from jax.sharding import (
+                        NamedSharding,
+                        PartitionSpec as P,
+                    )
+
+                    sharding = NamedSharding(mesh, P())
+                return jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=sharding
+                )
+            return x
+
+        abstract = jax.tree.map(as_abstract, state)
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path), abstract)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        self.opt_state = restored["opt_state"]
+        return int(restored["epoch"])
+
     # ----------------------------------------------------------- misc parity
 
     @property
