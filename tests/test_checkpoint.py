@@ -194,3 +194,21 @@ def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
             np.testing.assert_allclose(float(t1b), float(t2b), rtol=1e-6)
     finally:
         set_active_mesh(None)
+
+
+def test_sharded_checkpoint_async_overlaps_training(tmp_path):
+    """save_checkpoint_sharded(block=False): the snapshot is consistent at
+    save time even though training keeps mutating the live arrays before
+    the write completes."""
+    m1, x, y = _setup()
+    m1.fit(x, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    snap_pred = m1.predict(x, 64)
+    ckpt = str(tmp_path / "ock_async")
+    m1.save_checkpoint_sharded(ckpt, epoch=1, block=False)
+    # keep training while tensorstore writes in the background
+    m1.fit(x, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    m1.wait_for_checkpoints()
+
+    m2, x, y = _setup()
+    assert m2.load_checkpoint_sharded(ckpt) == 1
+    np.testing.assert_allclose(m2.predict(x, 64), snap_pred, rtol=1e-6)

@@ -1756,7 +1756,7 @@ class BaseModel:
 
     # ------------------------------------------------- sharded checkpoints
 
-    def save_checkpoint_sharded(self, path, epoch=0):
+    def save_checkpoint_sharded(self, path, epoch=0, block=True):
         """Orbax/tensorstore checkpoint that writes each array SHARD from
         the devices that hold it — no host gather, no single-host staging
         of a 100M-row table (the flax-serialization
@@ -1768,7 +1768,13 @@ class BaseModel:
         and identically-sharded model via :meth:`load_checkpoint_sharded`.
         For cross-layout / cross-topology portability use the canonical
         :meth:`save_checkpoint` instead.  SURVEY.md §5 (checkpoint/resume:
-        "Orbax-style checkpoint of params + optimizer state")."""
+        "Orbax-style checkpoint of params + optimizer state").
+
+        ``block=False`` returns as soon as the device arrays are snapshot
+        (orbax async): training steps continue while tensorstore writes in
+        the background — call :meth:`wait_for_checkpoints` (or save again /
+        exit) to join.  The snapshot is consistent even though the live
+        arrays keep updating."""
         assert self._compiled, "compile() before save_checkpoint_sharded()"
         import os
 
@@ -1780,10 +1786,23 @@ class BaseModel:
             "opt_state": self.opt_state,
             "epoch": jnp.asarray(epoch, jnp.int32),
         }
-        ckptr = ocp.StandardCheckpointer()
-        p = os.path.abspath(path)
-        ckptr.save(p, state, force=True)
-        ckptr.wait_until_finished()
+        ckptr = getattr(self, "_async_ckptr", None)
+        if ckptr is None:
+            ckptr = self._async_ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+        ckptr.save(
+            os.path.abspath(path), args=ocp.args.StandardSave(state),
+            force=True,
+        )
+        if block:
+            ckptr.wait_until_finished()
+
+    def wait_for_checkpoints(self):
+        """Join any in-flight ``save_checkpoint_sharded(block=False)``."""
+        ckptr = getattr(self, "_async_ckptr", None)
+        if ckptr is not None:
+            ckptr.wait_until_finished()
 
     def load_checkpoint_sharded(self, path):
         """Restore a :meth:`save_checkpoint_sharded` checkpoint directly
