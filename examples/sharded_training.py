@@ -57,6 +57,10 @@ def main():
                 validation_split=0.1,
             )
             pred = model.predict(x, batch_size=4096)
+            # sharded-native checkpoint: each table shard writes from the
+            # devices that hold it (no host gather); block=False lets
+            # further steps overlap the tensorstore write
+            model.save_checkpoint_sharded("/tmp/sharded_ckpt", epoch=2)
         print("predictions:", pred[:5].ravel())
     finally:
         set_active_mesh(None)
