@@ -96,16 +96,12 @@ def _varlen_data(n=128, vocab=50, seed=3):
 
 def _canonical_state(m):
     """(canonical params, lazy row states) whatever the embedding_layout —
-    packed tables surface their in-array state columns."""
+    packed groups surface their in-array state columns per member."""
     params = m.get_weights()["params"]
     lazy = {
-        p: np.asarray(v) for p, v in m.opt_state.get("lazy", {}).items()
+        p: np.asarray(v)
+        for p, v in m._canonical_opt_state().get("lazy", {}).items()
     }
-    for p, (D, _) in getattr(m, "_packed_tables", {}).items():
-        arr = m.params
-        for seg in p.split("/"):
-            arr = arr[seg]
-        lazy[p] = np.asarray(arr[:, D:])
     return params, lazy
 
 
@@ -315,9 +311,10 @@ def test_bf16_state_packed_trains_and_tracks_f32():
         out[dt] = (m, h.history["loss"])
     mb, losses_b = out["bfloat16"]
     mf, losses_f = out["float32"]
-    # packed width shrinks: adam k=2, D=8 -> 8 state slots instead of 16
-    assert mb.params["embedding_dict"]["table_d8"].shape[1] == 8 + 8
-    assert mf.params["embedding_dict"]["table_d8"].shape[1] == 8 + 16
+    # the group fuses main table_d8 + linear table_d1 (same id pattern):
+    # dsum 9; adam k=2 -> 9 bf16-pair state slots instead of 18 fp32
+    assert mb.params["embedding_dict"]["table_d8"].shape[1] == 9 + 9
+    assert mf.params["embedding_dict"]["table_d8"].shape[1] == 9 + 18
     assert losses_b[-1] < losses_b[0]
     # trajectories track within bf16 moment-rounding tolerance
     np.testing.assert_allclose(losses_b, losses_f, rtol=2e-3)
@@ -332,8 +329,8 @@ def test_bf16_state_untouched_rows_frozen():
     m.compile("adagrad", "binary_crossentropy", metrics=[],
               embedding_optimizer="lazy", embedding_gradient="split",
               embedding_state_dtype="bfloat16")
-    # adagrad k=1, D=8 -> 4 bf16-pair slots
-    assert m.params["embedding_dict"]["table_d8"].shape[1] == 8 + 4
+    # group dsum 9 (main d8 + linear d1), adagrad k=1 -> 5 bf16-pair slots
+    assert m.params["embedding_dict"]["table_d8"].shape[1] == 9 + 5
     before = np.asarray(m.params["embedding_dict"]["table_d8"]).copy()
     xb = {f"C{i}": np.array([0, 1, 0, 1]) for i in range(4)}
     xb["I0"] = np.zeros(4, np.float32)
@@ -373,14 +370,10 @@ def test_bf16_state_checkpoint_cross_format(tmp_path):
     st_flat = np.asarray(
         m2.opt_state["lazy"]["embedding_dict/table_d8"]
     )
-    st_packed = np.asarray(m1.params["embedding_dict"]["table_d8"][:, 8:])
-    from xdeepfm_tpu.optimizers import decode_state
-    import jax.numpy as jnp
-
-    np.testing.assert_array_equal(
-        st_flat,
-        np.asarray(decode_state(jnp.asarray(st_packed), 16, jnp.bfloat16)),
+    st_decoded = np.asarray(
+        m1._canonical_opt_state()["lazy"]["embedding_dict/table_d8"]
     )
+    np.testing.assert_array_equal(st_flat, st_decoded)
     # -> back into a bf16-packed model: bit-identical state storage
     m3 = build("packed", "bfloat16")
     assert m3.load_checkpoint(p) == 1
@@ -405,7 +398,8 @@ def test_bf16_state_odd_dim_adagrad():
     m.compile("adagrad", "binary_crossentropy", metrics=[],
               embedding_optimizer="lazy", embedding_gradient="split",
               embedding_state_dtype="bfloat16")
-    assert m.params["embedding_dict"]["table_d5"].shape[1] == 5 + 3
+    # group dsum 6 (main d5 + linear d1), k=1 -> 3 bf16-pair slots
+    assert m.params["embedding_dict"]["table_d5"].shape[1] == 6 + 3
     h = m.fit(x, y, batch_size=64, epochs=3, verbose=0)
     assert h.history["loss"][-1] < h.history["loss"][0]
     # canonical state decodes to the right width

@@ -579,11 +579,11 @@ def _lazy_mesh_parity(embedding_mode="gspmd", steps=2, layout="auto",
             # PACKED (param|m|v in one [rows, 3D] array), so the state rides
             # the table's own sharding; flat-layout state is a separate dict.
             assert bool(model2._packed_tables) == (layout != "flat")
-            for path in model2._packed_tables:
+            for g in model2._packed_groups:
                 arr = model2.params
-                for seg in path.split("/"):
+                for seg in g["host"].split("/"):
                     arr = arr[seg]
-                assert arr.sharding.spec == P("embed", None), path
+                assert arr.sharding.spec == P("embed", None), g["host"]
             for st in model2.opt_state["lazy"].values():
                 assert st.sharding.spec == P("embed", None)
             xb2 = shard_batch(batch2, mesh)

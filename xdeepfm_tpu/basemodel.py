@@ -38,13 +38,13 @@ from .metrics import DEVICE_METRICS, HOST_METRICS
 # embedding_optimizer='auto' crossover: stacked tables at or above this many
 # rows train lazily (row-sparse updates), below it dense streaming wins —
 # measured on v5e (BASELINE.md "Embedding-optimizer regimes").  The round-5
-# packed param|state layout made the lazy step table-size-INDEPENDENT
-# (~34 ms at 10M and 100M rows alike: two serialized row walks + compute),
-# moving the crossover down from ~30-50M to ~15M rows (same-process pairs:
-# dense 26.6 vs packed 35.0 ms at 10.4M; dense 37.9 vs packed 34.0 at
-# 20.8M).  Module-level so deployments on other HBM/bandwidth envelopes
-# (and tests) can tune it.
-AUTO_LAZY_MIN_ROWS = 15_000_000
+# packed param|state GROUP layout (main + linear fused into one array: one
+# gather + one scatter per step TOTAL) made the lazy step table-size-
+# independent (~20-22 ms at 10M and 104M rows alike), moving the crossover
+# down from ~30-50M to ~5-6M rows (same-process pairs: dense 18.6 vs
+# packed-group 23.9 ms at 2.6M; dense 26.6 vs 22.2 at 10.4M).  Module-level
+# so deployments on other HBM/bandwidth envelopes (and tests) can tune it.
+AUTO_LAZY_MIN_ROWS = 6_000_000
 
 
 def _loss_fn_single(name):
@@ -106,6 +106,16 @@ def _tree_set(tree, path, val):
     return {
         **tree,
         segs[0]: _tree_set(tree[segs[0]], "/".join(segs[1:]), val),
+    }
+
+
+def _tree_del(tree, path):
+    segs = path.split("/")
+    if len(segs) == 1:
+        return {k: v for k, v in tree.items() if k != segs[0]}
+    return {
+        **tree,
+        segs[0]: _tree_del(tree[segs[0]], "/".join(segs[1:])),
     }
 
 
@@ -372,6 +382,16 @@ class BaseModel:
             self._lazy_lr = lr if lr is not None else (
                 LAZY_OPTIMIZERS[optimizer][2]["lr"]
             )
+            # pack BEFORE the optimizer labels: grouping removes non-host
+            # member paths from the params tree
+            self._packed_tables = {}
+            self._packed_groups = []
+            if (
+                embedding_layout in ("auto", "packed")
+                and self._lazy_tables
+                and self._lazy_split
+            ):
+                self._pack_params()
             base = _get_optimizer(optimizer, lr)
             if self._lazy_tables:
                 import optax as _optax
@@ -391,6 +411,8 @@ class BaseModel:
                 self.optimizer = base
         else:
             self.optimizer = _get_optimizer(optimizer, lr)
+            self._packed_tables = {}
+            self._packed_groups = []
         self._fused_dense_groups = []
         if (
             not self._lazy_tables
@@ -398,21 +420,15 @@ class BaseModel:
             and (fused_lookup is True or jax.device_count() == 1)
         ):
             self._fused_dense_groups = self._build_fused_groups()
-        if embedding_layout == "packed" and not (
-            self._lazy_tables and self._lazy_split
-        ):
+        if embedding_layout == "packed" and not self._packed_tables:
             raise ValueError(
                 "embedding_layout='packed' requires embedding_optimizer="
                 "'lazy' with embedding_gradient='split'"
             )
-        self._packed_tables = {}
         if (
-            embedding_layout in ("auto", "packed")
-            and self._lazy_tables
-            and self._lazy_split
+            self._packed_state_dtype == jnp.dtype(jnp.bfloat16)
+            and not self._packed_tables
         ):
-            self._pack_params()
-        elif self._packed_state_dtype == jnp.dtype(jnp.bfloat16):
             raise ValueError(
                 "embedding_state_dtype='bfloat16' requires lazy+split "
                 "(packed layout) — nothing was packed under this config"
@@ -423,25 +439,30 @@ class BaseModel:
     # ------------------------------------------------- packed lazy layout
 
     def _pack_params(self):
-        """Switch every lazy table to the packed [rows, (1+k)*dim] layout:
-        param columns + the lazy optimizer's zero-initialized row state in
-        ONE array (see compile(embedding_layout=...)).  Records
-        ``self._packed_tables = {path: (dim, k)}``."""
+        """Switch every lazy table to the packed GROUP layout.
+
+        Tables with IDENTICAL id patterns (same touched-entry list and row
+        count — e.g. the main ``table_d10`` and the linear ``table_d1``)
+        fuse into ONE ``[rows, sum_d + state_slots(k*sum_d)]`` array:
+        member param columns side by side, then the optimizer's row state
+        for the whole group.  The train step then walks HBM ONCE per
+        direction for the entire group — at 104M rows the main+linear
+        fusion halves the two remaining serialized row walks again
+        (BASELINE.md round-5 floor: one walk pair ~14.8 ms).  Tables with
+        unique id patterns form singleton groups (the round-4 negative
+        result stands: different-id sites don't shrink rows touched).
+
+        The group array lives under its FIRST (largest) member's param
+        path; other member paths are REMOVED from the params tree and
+        reconstructed as column slices by the engine's canonical view.
+        Records ``self._packed_groups`` (mechanics) and
+        ``self._packed_tables = {path: (dim, k)}`` (introspection)."""
         import os
 
         from .optimizers import LAZY_ROW_MATH, state_slots
 
         _, k = LAZY_ROW_MATH[self._lazy_kind]
         state_dt = self._packed_state_dtype
-
-        # zero state columns are a valid encoding in EVERY state dtype
-        # (bf16 pairs of zeros bitcast to fp32 zero columns)
-        @partial(jax.jit, static_argnums=1)
-        def _pack(table, slots):
-            rows = table.shape[0]
-            return jnp.concatenate(
-                [table, jnp.zeros((rows, slots), table.dtype)], axis=1
-            )
 
         def _padded_bytes(rows, w):
             # measured TPU minor-dim storage rule (v5e): widths <= 8 are
@@ -450,91 +471,162 @@ class BaseModel:
             return rows * (w if w <= 8 else -(-w // 8) * 8) * 4
 
         params = self.params
-        # pack LARGEST first: during each pack the old and new buffers
-        # coexist (donation can't alias across shapes), so the peak is
-        # padded(old_max) + padded(new_max) + the other canonical tables.
-        # At the capacity edge (104M rows x dim 10, adagrad: 6.66 + 9.98 GB
-        # transient on a 16 GiB chip) that's tight — spill the SMALLER
-        # canonical tables to host for the duration when the estimate
-        # crowds the budget.
-        order = sorted(
-            self._lazy_tables,
-            key=lambda p: -_tree_get(params, p).size,
-        )
-        sizes = {
-            p: _padded_bytes(*_tree_get(params, p).shape) for p in order
-        }
-        budget = float(os.environ.get("XDEEPFM_HBM_BUDGET", 16 * 2**30))
-        big = _tree_get(params, order[0])
-        peak = (
-            sizes[order[0]]
-            + _padded_bytes(
-                big.shape[0],
-                big.shape[1] + state_slots(k * big.shape[1], state_dt),
+
+        # ---- group by identical (entries, rows): one walk serves all ----
+        by_key = {}
+        for path, (entries, l1, l2) in self._lazy_tables.items():
+            rows = _tree_get(params, path).shape[0]
+            by_key.setdefault((entries, rows), []).append((path, l1, l2))
+        groups = []
+        for (entries, rows), members in sorted(by_key.items(), key=str):
+            # largest member first: it hosts the group array AND packs
+            # without a spill round-trip
+            members = sorted(
+                members,
+                key=lambda m: -_tree_get(params, m[0]).size,
             )
-            + sum(sizes[p] for p in order[1:])
+            mem = []
+            off = 0
+            for path, l1, l2 in members:
+                dim = _tree_get(params, path).shape[1]
+                mem.append(
+                    {"path": path, "dim": dim, "off": off, "l1": l1,
+                     "l2": l2}
+                )
+                off += dim
+            groups.append({
+                "host": members[0][0],
+                "members": mem,
+                "entries": entries,
+                "rows": rows,
+                "dsum": off,
+                "k": k,
+                "slots": state_slots(k * off, state_dt),
+            })
+        # pack the LARGEST group first (its transient peak is the tallest)
+        groups.sort(key=lambda g: -(g["rows"] * g["dsum"]))
+
+        # capacity estimate: the first group's old host table + its new
+        # group array coexist, plus every other canonical table — spill
+        # the others to host when that crowds the budget
+        budget = float(os.environ.get("XDEEPFM_HBM_BUDGET", 16 * 2**30))
+        g0 = groups[0]
+        host0 = _tree_get(params, g0["host"])
+        peak = (
+            _padded_bytes(*host0.shape)
+            + _padded_bytes(g0["rows"], g0["dsum"] + g0["slots"])
+            + sum(
+                _padded_bytes(*_tree_get(params, p).shape)
+                for p in self._lazy_tables
+                if p != g0["host"]
+            )
         )
         spilled = {}
-        if len(order) > 1 and peak > 0.93 * budget:
-            for p in order[1:]:
+        if peak > 0.93 * budget:
+            for p in self._lazy_tables:
+                if p == g0["host"]:
+                    continue
                 t = _tree_get(params, p)
                 spilled[p] = np.asarray(t)
                 t.delete()
-        for path in order:
-            if path in spilled:
-                table = jnp.asarray(spilled.pop(path))
-                params = _tree_set(params, path, table)
-            else:
-                table = _tree_get(params, path)
-            dim = table.shape[1]
-            new = _pack(table, state_slots(k * dim, state_dt))
-            new.block_until_ready()
-            # the old buffer is NOT freed by tracing/donation (shape
-            # mismatch makes donation unusable) — release it explicitly or
-            # it leaks its padded footprint for the process lifetime
+                params = _tree_set(params, p, None)
+
+        # zero state columns are a valid encoding in EVERY state dtype
+        # (bf16 pairs of zeros bitcast to fp32 zero columns)
+        @partial(jax.jit, static_argnums=1)
+        def _seed(table, extra):
+            rows = table.shape[0]
+            return jnp.concatenate(
+                [table, jnp.zeros((rows, extra), table.dtype)], axis=1
+            )
+
+        @partial(jax.jit, static_argnums=2, donate_argnums=0)
+        def _fill(group_arr, member_table, off):
+            return jax.lax.dynamic_update_slice_in_dim(
+                group_arr, member_table, off, axis=1
+            )
+
+        for g in groups:
+            W = g["dsum"] + g["slots"]
+            # 1. seed the group array from the host member + zeros; the
+            #    other members' columns fill in-place (donated) afterwards,
+            #    so the transient never exceeds old-host + new-group
+            host_t = (
+                jnp.asarray(spilled.pop(g["host"]))
+                if g["host"] in spilled
+                else _tree_get(params, g["host"])
+            )
+            arr = _seed(host_t, W - g["members"][0]["dim"])
+            arr.block_until_ready()
+            # an un-donatable old buffer is NOT freed while the params tree
+            # references it — release explicitly or it leaks its padded
+            # footprint for the process lifetime
             try:
-                table.delete()
+                host_t.delete()
             except Exception:
                 pass
-            params = _tree_set(params, path, new)
-            self._packed_tables[path] = (dim, k)
+            params = _tree_set(params, g["host"], None)
+            for m in g["members"][1:]:
+                t = (
+                    jnp.asarray(spilled.pop(m["path"]))
+                    if m["path"] in spilled
+                    else _tree_get(params, m["path"])
+                )
+                arr = _fill(arr, t, m["off"])
+                arr.block_until_ready()
+                try:
+                    t.delete()
+                except Exception:
+                    pass
+                params = _tree_del(params, m["path"])
+            params = _tree_set(params, g["host"], arr)
+            for m in g["members"]:
+                self._packed_tables[m["path"]] = (m["dim"], k)
+        self._packed_groups = groups
         self.params = params
 
-    def _unpack_params(self, lazy_state=None):
-        """Restore canonical [rows, dim] tables from the packed layout.
-        Returns {path: state [rows, k*dim]} holding the row states that were
-        packed alongside (``lazy_state`` overrides per path, for checkpoint
-        load)."""
-        from .optimizers import decode_state
+    @staticmethod
+    def _member_state_slice(st_all, g, m):
+        """[R, k*dsum] fp32 group state -> the member's canonical
+        [R, k*dim] (state layout is k stacked dsum-wide blocks, e.g.
+        adam's m_all | v_all)."""
+        R = st_all.shape[0]
+        return st_all.reshape(R, g["k"], g["dsum"])[
+            :, :, m["off"] : m["off"] + m["dim"]
+        ].reshape(R, g["k"] * m["dim"])
 
-        states = {}
+    def _unpack_params(self):
+        """Restore canonical [rows, dim] tables from the packed group
+        layout (re-compile path; the in-array row states are discarded
+        exactly as a flat-layout re-compile re-initializes its state)."""
         params = self.params
-        for path, (dim, k) in self._packed_tables.items():
-            packed = _tree_get(params, path)
-            states[path] = (
-                lazy_state[path] if lazy_state is not None
-                else np.asarray(
-                    decode_state(
-                        packed[:, dim:], k * dim, self._packed_state_dtype
-                    )
+        for g in self._packed_groups:
+            arr = _tree_get(params, g["host"])
+            for m in g["members"]:
+                params = _tree_set(
+                    params, m["path"],
+                    jnp.array(arr[:, m["off"] : m["off"] + m["dim"]]),
                 )
-            )
-            table = packed[:, :dim]
             try:
-                packed.delete()  # see _pack_params: the tree's reference
-            except Exception:   # would otherwise pin the wide buffer
+                arr.delete()  # the tree's reference would otherwise pin
+            except Exception:  # the wide buffer for the process lifetime
                 pass
-            params = _tree_set(params, path, table)
         self.params = params
         self._packed_tables = {}
-        return states
+        self._packed_groups = []
 
     def _canonical_params(self, params):
-        """View of a param tree with packed lazy tables sliced back to
-        [rows, dim].  Under jit the slice is dead — hence free — wherever
-        lookups consume the engine's ``_compact`` occurrence blocks."""
-        for path, (dim, _) in self._packed_tables.items():
-            params = _tree_set(params, path, _tree_get(params, path)[:, :dim])
+        """View of a param tree with each packed group expanded back into
+        its members' canonical [rows, dim] tables.  Under jit the slices
+        are dead — hence free — wherever lookups consume the engine's
+        ``_compact`` occurrence blocks."""
+        for g in self._packed_groups:
+            arr = _tree_get(params, g["host"])
+            for m in g["members"]:
+                params = _tree_set(
+                    params, m["path"],
+                    arr[:, m["off"] : m["off"] + m["dim"]],
+                )
         return params
 
     def _build_fused_groups(self):
@@ -655,20 +747,29 @@ class BaseModel:
                 # before/after row values, so they fall back to the fused
                 # full-table reg value (GSPMD local reduce + psum).
                 sumsq = jax.jit(
-                    lambda t, d: jnp.sum(jnp.square(t[:, :d])),
-                    static_argnums=1,
+                    lambda t, a, b: jnp.sum(jnp.square(t[:, a:b])),
+                    static_argnums=(1, 2),
                 )
-                self.opt_state["reg"] = {
-                    path: sumsq(
-                        flat[path],
-                        self._packed_tables.get(
-                            path, (flat[path].shape[1],)
-                        )[0],
+                # packed members live as column slices of their group host
+                view = {}
+                for g in self._packed_groups:
+                    arr = flat[g["host"]]
+                    for m in g["members"]:
+                        view[m["path"]] = (
+                            arr, m["off"], m["off"] + m["dim"]
+                        )
+                reg = {}
+                for path, (entries, l1, l2) in self._lazy_tables.items():
+                    if not (l2 > 0 and l1 == 0):
+                        continue
+                    arr, a, b = view.get(
+                        path,
+                        (flat.get(path), 0, None),
                     )
-                    for path, (entries, l1, l2) in self._lazy_tables.items()
-                    if l2 > 0 and l1 == 0
-                    and not self._sharded_lazy_path(flat[path])
-                }
+                    if arr is None or self._sharded_lazy_path(arr):
+                        continue
+                    reg[path] = sumsq(arr, a, b if b else arr.shape[1])
+                self.opt_state["reg"] = reg
         else:
             self.opt_state = self.optimizer.init(self.params)
 
@@ -732,13 +833,20 @@ class BaseModel:
 
         matmul_precision = getattr(self, "_matmul_precision", None)
         packed = dict(self._packed_tables)
+        packed_groups = list(self._packed_groups)
 
         def canonical_view(p):
-            """Packed lazy tables sliced to their canonical [rows, dim] shape
-            for module.apply (flax validates param shapes).  Dead — hence
-            free — when every lookup consumes a ``_compact`` block."""
-            for path, (D, _) in packed.items():
-                p = _tree_set(p, path, _tree_get(p, path)[:, :D])
+            """Each packed group expanded back into its members' canonical
+            [rows, dim] tables for module.apply (flax validates param
+            shapes).  Dead — hence free — when every lookup consumes a
+            ``_compact`` block."""
+            for g in packed_groups:
+                arr = _tree_get(p, g["host"])
+                for m in g["members"]:
+                    p = _tree_set(
+                        p, m["path"],
+                        arr[:, m["off"] : m["off"] + m["dim"]],
+                    )
             return p
 
         def apply_train(params, batch_stats, batch, rng):
@@ -814,53 +922,57 @@ class BaseModel:
                 tracked = opt_state.get("reg", {})
                 from .parallel.sharded_embedding import maybe_sharded_take
 
-                for path, (entries, l1, l2) in lazy_specs.items():
-                    table = _tree_get(params, path)
-                    ids = touched_ids(batch, entries)
-                    lazy_ids[path] = ids
-                    # routes through the shard_map / all_to_all lookup
-                    # kernels when an embedding mode is set (plain take
-                    # under gspmd — XLA partitions the gather itself)
-                    if path in packed and not self._sharded_lazy_path(table):
-                        # packed layout: ONE full-width per-occurrence walk
-                        # serves the forward block ([:, :D] slice, the
-                        # differentiated input) AND the optimizer's row
-                        # state (consumed by the update below) — the walk
-                        # is row-latency bound, not byte bound, so the
-                        # wider row costs ~nothing and the separate state
-                        # gather disappears
-                        D, _ = packed[path]
-                        rows_full = maybe_sharded_take(table, ids)
-                        packed_rows[path] = rows_full
-                        compact_rows[path] = rows_full[:, :D]
-                    elif path in packed:
-                        # embed-sharded packed table: the shard-local
-                        # update re-gathers packed rows after the id
-                        # exchange, so the forward gather ships only the
-                        # param columns over the wire
-                        D, _ = packed[path]
-                        compact_rows[path] = maybe_sharded_take(
-                            table, ids, width=D
-                        )
-                    else:
-                        compact_rows[path] = maybe_sharded_take(table, ids)
+                def reg_value(path, l1, l2, table_cols):
+                    """Incrementally-tracked sum(w^2) scalar when available
+                    (no table read at all — updated below from touched
+                    rows); otherwise the full-scan fallback, flattened so
+                    XLA fuses square+reduce in one stage."""
                     if path in tracked:
-                        # incrementally-tracked sum(w^2) scalar — no table
-                        # read at all (updated below from touched rows).
-                        reg_const = reg_const + l2 * tracked[path]
-                        continue
-                    # full-table reg VALUE fallback (l1, or untracked); its
-                    # row-gradient is applied lazily below.  Flattened so
-                    # XLA fuses square+reduce in one stage (a [R, 1] table
-                    # otherwise materializes a full [R] row-sum temp).
-                    if path in packed:
-                        table = table[:, : packed[path][0]]
-                    flat_t = table.reshape(-1)
+                        return l2 * tracked[path]
+                    flat_t = table_cols.reshape(-1)
+                    out = jnp.zeros(())
                     if l1 > 0:
-                        reg_const = reg_const + l1 * jnp.sum(jnp.abs(flat_t))
+                        out = out + l1 * jnp.sum(jnp.abs(flat_t))
                     if l2 > 0:
-                        reg_const = reg_const + l2 * jnp.sum(
-                            jnp.square(flat_t)
+                        out = out + l2 * jnp.sum(jnp.square(flat_t))
+                    return out
+
+                # packed GROUPS: one per-occurrence walk serves every
+                # member's forward block AND the whole group's optimizer
+                # state (the walk is row-latency bound, not byte bound —
+                # wider rows cost ~nothing, and both the per-member state
+                # gathers and the per-member walks disappear)
+                for g in packed_groups:
+                    arr = _tree_get(params, g["host"])
+                    ids = touched_ids(batch, g["entries"])
+                    lazy_ids[g["host"]] = ids
+                    if not self._sharded_lazy_path(arr):
+                        rows_full = maybe_sharded_take(arr, ids)
+                        packed_rows[g["host"]] = rows_full
+                    else:
+                        # embed-sharded group: the shard-local update
+                        # re-gathers packed rows after the id exchange, so
+                        # the forward gather ships only param columns
+                        rows_full = maybe_sharded_take(
+                            arr, ids, width=g["dsum"]
+                        )
+                    for m in g["members"]:
+                        sl = slice(m["off"], m["off"] + m["dim"])
+                        compact_rows[m["path"]] = rows_full[:, sl]
+                        reg_const = reg_const + reg_value(
+                            m["path"], m["l1"], m["l2"], arr[:, sl]
+                        )
+                # flat-layout lazy tables (routes through the shard_map /
+                # all_to_all lookup kernels when an embedding mode is set;
+                # plain take under gspmd — XLA partitions the gather)
+                if not packed_groups:
+                    for path, (entries, l1, l2) in lazy_specs.items():
+                        table = _tree_get(params, path)
+                        ids = touched_ids(batch, entries)
+                        lazy_ids[path] = ids
+                        compact_rows[path] = maybe_sharded_take(table, ids)
+                        reg_const = reg_const + reg_value(
+                            path, l1, l2, table
                         )
 
             def loss_fn(arg):
@@ -898,35 +1010,113 @@ class BaseModel:
                 new_params = optax.apply_updates(params, updates)
                 new_lazy = {}
                 new_reg = {}
-                for path, (entries, l1, l2) in lazy_specs.items():
-                    if lazy_split and self._sharded_lazy_path(
-                        _tree_get(params, path)
-                    ):
+
+                # ---- packed GROUPS: one update walk per group ----
+                for g in packed_groups:
+                    host, dsum, k_ = g["host"], g["dsum"], g["k"]
+                    l1vec = np.zeros(dsum, np.float32)
+                    l2vec = np.zeros(dsum, np.float32)
+                    for m in g["members"]:
+                        l1vec[m["off"] : m["off"] + m["dim"]] = m["l1"]
+                        l2vec[m["off"] : m["off"] + m["dim"]] = m["l2"]
+                    # member cotangents side by side, matching the group's
+                    # param column order
+                    g_all = jnp.concatenate(
+                        [row_grads[m["path"]] for m in g["members"]], axis=1
+                    )
+                    arr = _tree_get(params, host)
+                    if self._sharded_lazy_path(arr):
                         # lazy x row-sharded composition (SURVEY.md §7 M3):
-                        # per-occurrence cotangents dedup locally, unique
-                        # rows route to the owning shard over the embed
-                        # axis, and the nonlinear row update (+ row-wise
-                        # reg gradient) runs shard-locally — no full-table
-                        # gradient or cross-shard moment traffic.
+                        # dedup locally, unique rows route to the owning
+                        # shard, one packed gather + one scatter per shard
                         from .parallel.mesh import get_active_mesh
                         from .parallel.sharded_embedding import (
                             sharded_lazy_row_update,
                         )
 
-                        if path in packed:
-                            # packed layout shard-locally too: one gather
-                            # of [*, (1+k)D] rows + ONE scatter per shard
-                            p_new = sharded_lazy_row_update(
-                                _tree_get(params, path), None,
-                                lazy_ids[path], row_grads[path], step + 1,
-                                None, get_active_mesh(), lr=lazy_lr,
-                                l1=l1, l2=l2, packed_dim=packed[path][0],
-                                row_math=lazy_row_math,
-                                state_mult=packed[path][1],
-                                state_dtype=state_dtype,
-                            )
-                            new_params = _tree_set(new_params, path, p_new)
+                        p_new = sharded_lazy_row_update(
+                            arr, None, lazy_ids[host], g_all, step + 1,
+                            None, get_active_mesh(), lr=lazy_lr,
+                            l1=jnp.asarray(l1vec) if l1vec.any() else 0.0,
+                            l2=jnp.asarray(l2vec) if l2vec.any() else 0.0,
+                            packed_dim=dsum, row_math=lazy_row_math,
+                            state_mult=k_, state_dtype=state_dtype,
+                        )
+                        new_params = _tree_set(new_params, host, p_new)
+                        continue
+                    # sort by id once per group; duplicate runs get their
+                    # SUM via cumsum differences so duplicates write
+                    # identical values
+                    ids = lazy_ids[host]
+                    order = jnp.argsort(ids)
+                    sids = jnp.take(ids, order)
+                    is_first = jnp.concatenate(
+                        [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+                    )
+                    g_runs = segment_run_sums(
+                        jnp.take(g_all, order, axis=0), is_first
+                    )
+                    rows_sorted = jnp.take(
+                        packed_rows[host], order, axis=0
+                    )
+                    p_rows = rows_sorted[:, :dsum]
+                    st_rows = decode_state(
+                        rows_sorted[:, dsum:], k_ * dsum, state_dtype
+                    )
+                    # per-member reg gradients as one column-coefficient
+                    # vector (members may carry different l1/l2)
+                    if l2vec.any():
+                        g_runs = g_runs + 2.0 * jnp.asarray(l2vec) * p_rows
+                    if l1vec.any():
+                        g_runs = g_runs + jnp.asarray(l1vec) * jnp.sign(
+                            p_rows
+                        )
+                    # pure row math + ONE combined scatter: the whole
+                    # group's update is a single serialized row walk
+                    p_rows_new, st_new = lazy_row_math(
+                        p_rows, st_rows, g_runs, step + 1, lr=lazy_lr
+                    )
+                    p_new = _row_set(
+                        arr, sids,
+                        jnp.concatenate(
+                            [p_rows_new, encode_state(st_new, state_dtype)],
+                            axis=1,
+                        ),
+                        True,
+                    )
+                    new_params = _tree_set(new_params, host, p_new)
+                    for m in g["members"]:
+                        if m["path"] not in opt_state.get("reg", {}):
                             continue
+                        # incremental sum(w^2): duplicates write identical
+                        # values — count each unique row once (is_first)
+                        sl = slice(m["off"], m["off"] + m["dim"])
+                        delta = jnp.sum(
+                            jnp.where(
+                                is_first,
+                                jnp.sum(jnp.square(p_rows_new[:, sl]),
+                                        axis=1)
+                                - jnp.sum(jnp.square(p_rows[:, sl]),
+                                          axis=1),
+                                0.0,
+                            )
+                        )
+                        new_reg[m["path"]] = (
+                            opt_state["reg"][m["path"]] + delta
+                        )
+
+                # ---- flat layout / dense-cotangent lazy tables ----
+                for path, (entries, l1, l2) in (
+                    {} if packed_groups else lazy_specs
+                ).items():
+                    if lazy_split and self._sharded_lazy_path(
+                        _tree_get(params, path)
+                    ):
+                        from .parallel.mesh import get_active_mesh
+                        from .parallel.sharded_embedding import (
+                            sharded_lazy_row_update,
+                        )
+
                         p_new, lstate_new = sharded_lazy_row_update(
                             _tree_get(params, path),
                             opt_state["lazy"][path], lazy_ids[path],
@@ -936,7 +1126,6 @@ class BaseModel:
                         new_params = _tree_set(new_params, path, p_new)
                         new_lazy[path] = lstate_new
                         continue
-                    st_rows = None
                     if lazy_split:
                         # row_grads is the per-occurrence [N, dim] cotangent:
                         # sort by id (one argsort — XLA scatters/sorts on 106k
@@ -952,21 +1141,7 @@ class BaseModel:
                             [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
                         )
                         g_rows = segment_run_sums(g_sorted, is_first)
-                        if path in packed:
-                            # the packed forward gather already holds the
-                            # row state columns — reuse, no state gather
-                            D, k_ = packed[path]
-                            rows_sorted = jnp.take(
-                                packed_rows[path], order, axis=0
-                            )
-                            p_rows = rows_sorted[:, :D]
-                            st_rows = decode_state(
-                                rows_sorted[:, D:], k_ * D, state_dtype
-                            )
-                        else:
-                            p_rows = jnp.take(
-                                compact_rows[path], order, axis=0
-                            )
+                        p_rows = jnp.take(compact_rows[path], order, axis=0)
                         ids = sids
                         ids_sorted = True
                     else:
@@ -979,34 +1154,16 @@ class BaseModel:
                         g_rows = g_rows + 2.0 * l2 * p_rows
                     if l1 > 0:
                         g_rows = g_rows + l1 * jnp.sign(p_rows)
-                    if path in packed:
-                        # pure row math + ONE combined scatter: the whole
-                        # per-table update is a single serialized row walk
-                        p_rows_new, st_new = lazy_row_math(
-                            p_rows, st_rows, g_rows, step + 1, lr=lazy_lr
-                        )
-                        p_new = _row_set(
-                            p_arr, ids,
-                            jnp.concatenate(
-                                [p_rows_new,
-                                 encode_state(st_new, state_dtype)],
-                                axis=1,
-                            ),
-                            ids_sorted,
-                        )
-                        new_params = _tree_set(new_params, path, p_new)
-                    else:
-                        # p_rows passes through: the rows were already
-                        # gathered above (forward block / reg gradient), so
-                        # the update skips its internal table walk
-                        # (~117 ns/row serialized)
-                        p_new, lstate_new, p_rows_new = lazy_row_update(
-                            p_arr, opt_state["lazy"][path], ids, g_rows,
-                            step + 1, lr=lazy_lr, sorted_ids=ids_sorted,
-                            p_rows=p_rows,
-                        )
-                        new_params = _tree_set(new_params, path, p_new)
-                        new_lazy[path] = lstate_new
+                    # p_rows passes through: the rows were already gathered
+                    # above (forward block / reg gradient), so the update
+                    # skips its internal table walk (~117 ns/row serialized)
+                    p_new, lstate_new, p_rows_new = lazy_row_update(
+                        p_arr, opt_state["lazy"][path], ids, g_rows,
+                        step + 1, lr=lazy_lr, sorted_ids=ids_sorted,
+                        p_rows=p_rows,
+                    )
+                    new_params = _tree_set(new_params, path, p_new)
+                    new_lazy[path] = lstate_new
                     if lazy_split and path in opt_state.get("reg", {}):
                         # incremental sum(w^2): duplicates write identical
                         # values, so count each unique row once (is_first).
@@ -1073,21 +1230,25 @@ class BaseModel:
             return params, batch_stats, opt_state, totals, mvals
 
         def predict_step(params, batch_stats, batch):
-            if packed:
+            if packed_groups:
                 # packed layout: serve lookups from per-occurrence compact
-                # blocks (gather + param-column slice) and hand apply the
-                # canonical table view — which is then dead, so no sliced
-                # full-table copy ever materializes at serving time
+                # blocks (one gather per GROUP + param-column slices) and
+                # hand apply the canonical table view — which is then dead,
+                # so no sliced full-table copy ever materializes at serving
+                # time
                 batch = dict(batch)
-                batch["_compact"] = {
-                    path: jnp.take(
-                        _tree_get(params, path),
-                        touched_ids(batch, entries),
+                compact = {}
+                for g in packed_groups:
+                    rows = jnp.take(
+                        _tree_get(params, g["host"]),
+                        touched_ids(batch, g["entries"]),
                         axis=0,
-                    )[:, : packed[path][0]]
-                    for path, (entries, _, _) in lazy_specs.items()
-                    if path in packed
-                }
+                    )
+                    for m in g["members"]:
+                        compact[m["path"]] = rows[
+                            :, m["off"] : m["off"] + m["dim"]
+                        ]
+                batch["_compact"] = compact
                 params = canonical_view(params)
             variables = {"params": params}
             if batch_stats:
@@ -1610,19 +1771,18 @@ class BaseModel:
         }
 
     def set_weights(self, weights):
-        """Accepts canonical-format weights; on a packed model the param
-        columns are replaced while the in-array optimizer row state is
-        preserved (matching the flat layout, where set_weights leaves
-        opt_state untouched)."""
+        """Accepts canonical-format weights; on a packed model each group
+        reassembles from the members' param columns while the in-array
+        optimizer row state is preserved (matching the flat layout, where
+        set_weights leaves opt_state untouched)."""
         params = jax.tree.map(jnp.asarray, weights["params"])
-        for path, (D, _) in self._packed_tables.items():
-            cur = _tree_get(self.params, path)
-            params = _tree_set(
-                params,
-                path,
-                jnp.concatenate([_tree_get(params, path), cur[:, D:]],
-                                axis=1),
-            )
+        for g in self._packed_groups:
+            cur = _tree_get(self.params, g["host"])
+            parts = [_tree_get(params, m["path"]) for m in g["members"]]
+            arr = jnp.concatenate(parts + [cur[:, g["dsum"] :]], axis=1)
+            for m in g["members"][1:]:
+                params = _tree_del(params, m["path"])
+            params = _tree_set(params, g["host"], arr)
         self.params = params
         self.batch_stats = jax.tree.map(jnp.asarray, weights["batch_stats"])
 
@@ -1674,21 +1834,25 @@ class BaseModel:
         self.set_weights(weights)
 
     def _canonical_opt_state(self):
-        """opt_state in the canonical on-disk format: a packed table's
-        in-array row state is surfaced as ``opt_state['lazy'][path]``
-        ([rows, k*dim]), exactly as the flat layout stores it — so
-        checkpoints are byte-compatible across embedding_layout settings."""
+        """opt_state in the canonical on-disk format: a packed group's
+        in-array row state is surfaced per member as
+        ``opt_state['lazy'][path]`` ([rows, k*dim]), exactly as the flat
+        layout stores it — so checkpoints are byte-compatible across
+        embedding_layout settings."""
         from .optimizers import decode_state
 
         opt = self.opt_state
-        if not self._packed_tables or not isinstance(opt, dict):
+        if not self._packed_groups or not isinstance(opt, dict):
             return opt
         lazy = dict(opt.get("lazy", {}))
-        for path, (D, k) in self._packed_tables.items():
-            lazy[path] = decode_state(
-                _tree_get(self.params, path)[:, D:], k * D,
+        for g in self._packed_groups:
+            st_all = decode_state(
+                _tree_get(self.params, g["host"])[:, g["dsum"] :],
+                g["k"] * g["dsum"],
                 self._packed_state_dtype,
             )
+            for m in g["members"]:
+                lazy[m["path"]] = self._member_state_slice(st_all, g, m)
         return {**opt, "lazy": lazy}
 
     def save_checkpoint(self, path, epoch=0):
@@ -1710,24 +1874,64 @@ class BaseModel:
         with open(path, "wb") as f:
             f.write(flax.serialization.to_bytes(state))
 
+    @staticmethod
+    def _merge_state_dict(template_sd, saved_sd):
+        """Copy every leaf of ``saved_sd`` into the matching key of
+        ``template_sd``; template keys absent from the save keep their live
+        value.  Used for the optax subtree only: a packed model's params
+        tree omits fused member paths, so its optax MASK structure
+        (MaskedNode placeholders, no content) differs from the flat
+        layout's — but every real leaf (dense mu/nu, step counts) matches
+        by key across layouts."""
+        if not isinstance(template_sd, dict):
+            return saved_sd
+        out = dict(template_sd)
+        for key, tval in template_sd.items():
+            if isinstance(saved_sd, dict) and key in saved_sd:
+                out[key] = BaseModel._merge_state_dict(tval, saved_sd[key])
+        return out
+
     def load_checkpoint(self, path):
         assert self._compiled, "compile() before load_checkpoint()"
-        template = {
-            "params": jax.tree.map(
-                np.asarray, self._canonical_params(self.params)
-            ),
-            "batch_stats": jax.tree.map(np.asarray, self.batch_stats),
-            "opt_state": jax.tree.map(
-                np.asarray, self._canonical_opt_state()
-            ),
-            "epoch": 0,
-        }
+        canonical_opt = self._canonical_opt_state()
         with open(path, "rb") as f:
-            state = flax.serialization.from_bytes(template, f.read())
-        params = state["params"]
-        opt = state["opt_state"]
-        if self._packed_tables:
-            # reassemble the packed layout from the canonical (fp32)
+            raw = flax.serialization.msgpack_restore(f.read())
+        params = flax.serialization.from_state_dict(
+            jax.tree.map(np.asarray, self._canonical_params(self.params)),
+            raw["params"],
+        )
+        batch_stats = flax.serialization.from_state_dict(
+            jax.tree.map(np.asarray, self.batch_stats), raw["batch_stats"]
+        )
+        if isinstance(canonical_opt, dict):
+            # 'lazy'/'reg' are canonical per-member dicts (strict restore);
+            # 'optax' restores leniently — its masked structure differs
+            # across embedding layouts while every REAL leaf matches by key
+            raw_opt = raw["opt_state"]
+            opt = {
+                key: flax.serialization.from_state_dict(
+                    jax.tree.map(np.asarray, val), raw_opt[key]
+                )
+                for key, val in canonical_opt.items()
+                if key != "optax"
+            }
+            optax_live = canonical_opt["optax"]
+            merged = self._merge_state_dict(
+                flax.serialization.to_state_dict(
+                    jax.tree.map(np.asarray, optax_live)
+                ),
+                raw_opt.get("optax", {}),
+            )
+            opt["optax"] = flax.serialization.from_state_dict(
+                optax_live, merged
+            )
+        else:
+            opt = flax.serialization.from_state_dict(
+                jax.tree.map(np.asarray, canonical_opt), raw["opt_state"]
+            )
+        state = {"epoch": raw["epoch"]}
+        if self._packed_groups:
+            # reassemble the packed group layout from the canonical (fp32)
             # checkpoint — HOST-side for the fp32 layout (from_bytes
             # returns numpy; the device never holds table + state + packed
             # result at once at capacity); bf16 state re-encodes on device
@@ -1735,22 +1939,34 @@ class BaseModel:
 
             dt = self._packed_state_dtype
             lazy = dict(opt["lazy"])
-            for path, (D, k) in self._packed_tables.items():
-                st = lazy.pop(path)
+            for g in self._packed_groups:
+                R, k, dsum = g["rows"], g["k"], g["dsum"]
+                tables = [
+                    np.asarray(_tree_get(params, m["path"]))
+                    for m in g["members"]
+                ]
+                # member states [R, k*dim] interleave back into the group
+                # state layout (k stacked dsum-wide blocks)
+                st_all = np.concatenate(
+                    [
+                        np.asarray(lazy.pop(m["path"])).reshape(
+                            R, k, m["dim"]
+                        )
+                        for m in g["members"]
+                    ],
+                    axis=2,
+                ).reshape(R, k * dsum)
                 if jnp.dtype(dt) == jnp.dtype(jnp.bfloat16):
-                    st = np.asarray(encode_state(jnp.asarray(st), dt))
-                params = _tree_set(
-                    params,
-                    path,
-                    np.concatenate(
-                        [np.asarray(_tree_get(params, path)),
-                         np.asarray(st)],
-                        axis=1,
-                    ),
-                )
+                    st_all = np.asarray(
+                        encode_state(jnp.asarray(st_all), dt)
+                    )
+                arr = np.concatenate(tables + [st_all], axis=1)
+                for m in g["members"][1:]:
+                    params = _tree_del(params, m["path"])
+                params = _tree_set(params, g["host"], arr)
             opt = {**opt, "lazy": lazy}
         self.params = jax.tree.map(jnp.asarray, params)
-        self.batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
+        self.batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         self.opt_state = jax.tree.map(jnp.asarray, opt)
         return int(state["epoch"])
 

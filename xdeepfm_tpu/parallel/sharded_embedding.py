@@ -442,6 +442,13 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
 
         k_d = (state_mult or 1) * packed_dim
 
+        def _reg_on(v):
+            # l1/l2 may be a scalar (single-table group) or a per-column
+            # coefficient vector (multi-member group: members can carry
+            # different reg weights) — callers pass a vector only when it
+            # has nonzero entries
+            return True if getattr(v, "ndim", 0) else float(v) > 0
+
         def local_packed(table_shard, ids_loc, g_loc):
             me = jax.lax.axis_index(embed_axis)
             S = table_shard.shape[0]
@@ -453,9 +460,9 @@ def sharded_lazy_row_update(table, state, ids, g_rows, step, row_update,
             )
             p_rows = rows[:, :packed_dim]
             st_rows = decode_state(rows[:, packed_dim:], k_d, state_dtype)
-            if l2 > 0:
+            if _reg_on(l2):
                 g_runs = g_runs + 2.0 * l2 * p_rows
-            if l1 > 0:
+            if _reg_on(l1):
                 g_runs = g_runs + l1 * jnp.sign(p_rows)
             p_new, st_new = row_math(p_rows, st_rows, g_runs, step, lr=lr)
             return table_shard.at[sl].set(
