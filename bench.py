@@ -287,7 +287,9 @@ def child_main(state_path):
     # BENCH_MODELS (e.g. BENCH_MODELS=pro or BENCH_MODELS= for none).
     extras = [
         s for s in os.environ.get(
-            "BENCH_MODELS", "pro,attn,dien,serve,attn2,serve_pro,lazy104"
+            # lazy104 (the packed-group capacity headline) ahead of the
+            # cheaper serve rows and attn2 so a deadline cut can't cost it
+            "BENCH_MODELS", "pro,attn,dien,lazy104,serve,attn2,serve_pro"
         ).split(",")
         if s
     ]
@@ -527,7 +529,7 @@ def main():
             print(json.dumps(json.load(f)["result"]))
         return
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "500"))
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
     fd, state_path = tempfile.mkstemp(suffix=".json", prefix="bench_state_")
     os.close(fd)
     os.unlink(state_path)
