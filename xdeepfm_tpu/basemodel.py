@@ -291,14 +291,16 @@ class BaseModel:
         order.  'auto' (default) enables it on a single device; True forces,
         False disables.
 
-        embedding_layout (lazy+split mode only): 'packed' stores each lazy
-        table as ONE [rows, (1+k)*dim] array — param columns followed by the
-        optimizer's k*dim row state (adam m|v, adagrad acc) — so the step's
-        per-occurrence gather serves BOTH the forward block and the moment
-        rows, and the whole update is ONE scatter instead of param + state
-        row walks (XLA serializes row scatters per index; the walk count is
-        the cost model).  'flat' keeps separate [rows, dim] param +
-        [rows, k*dim] state arrays.  'auto' = packed whenever lazy+split.
+        embedding_layout (lazy+split mode only): 'packed' fuses every
+        GROUP of same-id-pattern lazy tables (e.g. the main table_d10 and
+        the linear table_d1) together with the optimizer's row state (adam
+        m|v, adagrad acc) into ONE [rows, sum_dim + state] array, so each
+        step performs ONE per-occurrence gather (serving every member's
+        forward block AND the moments) and ONE combined scatter — XLA
+        serializes row walks per index; the walk count is the cost model
+        (104M rows: 52.75 -> 19.45 ms/step).  'flat' keeps separate
+        [rows, dim] param + [rows, k*dim] state arrays.  'auto' = packed
+        whenever lazy+split.
         The packed layout is internal: get/set_weights, checkpoints, and
         predict all speak the canonical table_d{d} format (checkpoints are
         byte-compatible across layouts).
