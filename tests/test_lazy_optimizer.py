@@ -408,6 +408,28 @@ def test_bf16_state_odd_dim_adagrad():
     assert np.isfinite(np.asarray(st)).all()
 
 
+def test_packed_groups_behavior_sequence_models():
+    """DIN/DIEN have no linear_model subtree and varlen-heavy id patterns:
+    their lazy tables form SINGLETON groups and still train/predict under
+    the packed layout."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_sequence_models import make_seq_data
+
+    from xdeepfm_tpu.models import DIEN
+
+    x, y, cols = make_seq_data(n=128, vocab=12, maxlen=6, with_neg=True)
+    m = DIEN(cols, ["item"], gru_type="AUGRU", use_negsampling=True,
+             dnn_hidden_units=(16, 8))
+    m.compile("adam", "binary_crossentropy", metrics=[],
+              embedding_optimizer="lazy", embedding_gradient="split")
+    assert [len(g["members"]) for g in m._packed_groups] == [1]
+    h = m.fit(x, y, batch_size=64, epochs=2, verbose=0)
+    assert h.history["loss"][-1] < h.history["loss"][0]
+    assert np.isfinite(m.predict(x, 64)).all()
+
+
 def test_pack_spill_path_correct(monkeypatch):
     """At the HBM capacity edge _pack_params spills the smaller canonical
     tables to host while the largest packs (BASELINE.md round-5).  Force the
